@@ -1,0 +1,273 @@
+"""Wavefront scene tracing: closest-hit over all instance groups.
+
+Replaces the reference's recursive TraceNode walk + virtual
+Object::IntersectRay dispatch (Final/main.cpp:94-130) with:
+
+* a `lax.scan` over sphere / plane instance arrays (each step intersects
+  the ENTIRE wavefront against one instance — long VPU lanes, no
+  per-ray branching), and
+* a batched stack-based BVH traversal for every mesh instance where all
+  rays advance in lock step under one `lax.while_loop`.
+
+Hit attributes (position/normal/uvw/material) are reconstructed once at
+the end for the winning primitive only — the traversal carries just
+(t, kind, inst, face, bary, front).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rtf_tpu.core.math import BIGFLOAT, dot, normalize
+from rtf_tpu.ops.intersect import (
+    intersect_box_enter, intersect_plane, intersect_sphere,
+    intersect_triangle, plane_attributes, sphere_attributes,
+)
+
+KIND_NONE, KIND_SPHERE, KIND_PLANE, KIND_MESH = 0, 1, 2, 3
+
+
+@struct.dataclass
+class Hit:
+    """SoA hit record (HitInfo, scene.h:151-164, minus cached attributes)."""
+    t: jnp.ndarray        # [N] float32, BIGFLOAT = miss
+    kind: jnp.ndarray     # [N] int32
+    inst: jnp.ndarray     # [N] int32 group-local instance id
+    face: jnp.ndarray     # [N] int32 arena face id (meshes)
+    ba: jnp.ndarray       # [N] barycentric a (meshes)
+    bb: jnp.ndarray       # [N] barycentric b (meshes)
+    front: jnp.ndarray    # [N] bool
+
+    @property
+    def is_hit(self):
+        return self.kind != KIND_NONE
+
+
+def _empty_hit(n: int) -> Hit:
+    return Hit(
+        t=jnp.full((n,), BIGFLOAT, jnp.float32),
+        kind=jnp.zeros((n,), jnp.int32),
+        inst=jnp.zeros((n,), jnp.int32),
+        face=jnp.zeros((n,), jnp.int32),
+        ba=jnp.zeros((n,), jnp.float32),
+        bb=jnp.zeros((n,), jnp.float32),
+        front=jnp.ones((n,), bool),
+    )
+
+
+def _to_local(itm, pos, o, d):
+    """World ray -> instance local ray (ToNodeCoords, scene.h:502-508)."""
+    lo = jnp.einsum("ij,nj->ni", itm, o - pos)
+    ld = jnp.einsum("ij,nj->ni", itm, d)
+    return lo, ld
+
+
+def _scan_group(group, o, d, hit: Hit, kind_code: int, intersect_fn) -> Hit:
+    k = group.itm.shape[0]
+    if k == 0:
+        return hit
+
+    def body(carry, xs):
+        t, kd, inst, front = carry
+        itm, pos, idx = xs
+        lo, ld = _to_local(itm, pos, o, d)
+        tt, fr, valid = intersect_fn(lo, ld, t)
+        upd = valid
+        t = jnp.where(upd, tt, t)
+        kd = jnp.where(upd, kind_code, kd)
+        inst = jnp.where(upd, idx, inst)
+        front = jnp.where(upd, fr, front)
+        return (t, kd, inst, front), None
+
+    xs = (group.itm, group.pos, jnp.arange(k, dtype=jnp.int32))
+    (t, kd, inst, front), _ = jax.lax.scan(
+        body, (hit.t, hit.kind, hit.inst, hit.front), xs)
+    return hit.replace(t=t, kind=kd, inst=inst, front=front)
+
+
+def bvh_traverse(mesh, root, o, d, t_init, face_init, front_init,
+                 ba_init, bb_init):
+    """Batched BVH walk for one mesh instance, rays already in local space.
+
+    Every ray keeps a private stack slice in a [N, D] array; the whole
+    batch iterates until all stacks drain.  Near child is pushed last
+    (popped first).  t-pruning uses the current best hit — a strict
+    improvement over the reference's BIGFLOAT box test
+    (objects.h:276 TraceBVHNode).
+    """
+    n = o.shape[0]
+    depth = mesh.max_depth
+    max_leaf = mesh.max_leaf
+    rows = jnp.arange(n)
+
+    stack = jnp.zeros((n, depth), jnp.int32)
+    stack = stack.at[:, 0].set(root)
+    sp = jnp.ones((n,), jnp.int32)
+
+    state = (sp, stack, t_init, face_init, front_init, ba_init, bb_init)
+
+    def cond(state):
+        return jnp.any(state[0] > 0)
+
+    def body(state):
+        sp, stack, t_best, face, front, ba, bb = state
+        active = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        node = stack[rows, top]
+        sp = jnp.where(active, sp - 1, sp)
+
+        bmin = mesh.bvh_min[node]
+        bmax = mesh.bvh_max[node]
+        box_hit, _ = intersect_box_enter(o, d, bmin, bmax, t_best)
+        box_hit &= active
+
+        child = mesh.bvh_child[node]
+        is_leaf = child < 0
+
+        # --- leaf: test up to max_leaf triangles (masked static unroll)
+        eoff = mesh.bvh_eoff[node]
+        ecnt = mesh.bvh_ecnt[node]
+        leaf_m = box_hit & is_leaf
+        emax = mesh.bvh_elems.shape[0] - 1
+        for kk in range(max_leaf):
+            fid = mesh.bvh_elems[jnp.minimum(eoff + kk, emax)]
+            m = leaf_m & (kk < ecnt)
+            a = mesh.tri_a[fid]
+            b = mesh.tri_b[fid]
+            c = mesh.tri_c[fid]
+            tt, fr, tba, tbb, valid = intersect_triangle(o, d, a, b, c, t_best)
+            upd = m & valid
+            t_best = jnp.where(upd, tt, t_best)
+            face = jnp.where(upd, fid, face)
+            front = jnp.where(upd, fr, front)
+            ba = jnp.where(upd, tba, ba)
+            bb = jnp.where(upd, tbb, bb)
+
+        # --- internal: push far child then near child
+        push = box_hit & ~is_leaf
+        c1 = jnp.maximum(child, 0)
+        c2 = c1 + 1
+        _, e1 = intersect_box_enter(o, d, mesh.bvh_min[c1], mesh.bvh_max[c1], t_best)
+        _, e2 = intersect_box_enter(o, d, mesh.bvh_min[c2], mesh.bvh_max[c2], t_best)
+        near = jnp.where(e1 <= e2, c1, c2)
+        far = jnp.where(e1 <= e2, c2, c1)
+
+        slot0 = jnp.minimum(sp, depth - 1)
+        stack = stack.at[rows, slot0].set(jnp.where(push, far, stack[rows, slot0]))
+        sp = jnp.where(push, jnp.minimum(sp + 1, depth - 1), sp)
+        slot1 = jnp.minimum(sp, depth - 1)
+        stack = stack.at[rows, slot1].set(jnp.where(push, near, stack[rows, slot1]))
+        sp = jnp.where(push, jnp.minimum(sp + 1, depth - 1), sp)
+
+        return (sp, stack, t_best, face, front, ba, bb)
+
+    state = jax.lax.while_loop(cond, body, state)
+    _, _, t, face, front, ba, bb = state
+    return t, face, front, ba, bb
+
+
+def trace(scene, o: jnp.ndarray, d: jnp.ndarray) -> Hit:
+    """Closest hit of world rays (o, d) against the whole scene."""
+    n = o.shape[0]
+    hit = _empty_hit(n)
+    hit = _scan_group(scene.spheres, o, d, hit, KIND_SPHERE, intersect_sphere)
+    hit = _scan_group(scene.planes, o, d, hit, KIND_PLANE, intersect_plane)
+
+    if scene.mesh is not None and scene.num_mesh_inst > 0:
+        for i in range(scene.num_mesh_inst):
+            itm = scene.mesh_inst.itm[i]
+            pos = scene.mesh_inst.pos[i]
+            root = scene.mesh.slot_root[scene.mesh_inst.mesh_slot[i]]
+            lo, ld = _to_local(itm, pos, o, d)
+            t, face, front, ba, bb = bvh_traverse(
+                scene.mesh, root, lo, ld,
+                hit.t, hit.face, hit.front, hit.ba, hit.bb)
+            upd = t < hit.t
+            hit = hit.replace(
+                t=jnp.where(upd, t, hit.t),
+                kind=jnp.where(upd, KIND_MESH, hit.kind),
+                inst=jnp.where(upd, i, hit.inst),
+                face=jnp.where(upd, face, hit.face),
+                front=jnp.where(upd, front, hit.front),
+                ba=jnp.where(upd, ba, hit.ba),
+                bb=jnp.where(upd, bb, hit.bb),
+            )
+    return hit
+
+
+@struct.dataclass
+class Surface:
+    """Full shading-ready hit attributes (the rest of HitInfo)."""
+    p: jnp.ndarray      # [N,3] world hit position
+    n: jnp.ndarray      # [N,3] world shading normal (normalized)
+    uvw: jnp.ndarray    # [N,3] texture coords
+    mtl: jnp.ndarray    # [N] int32 global material id
+    front: jnp.ndarray  # [N] bool
+    t: jnp.ndarray      # [N]
+    valid: jnp.ndarray  # [N] bool
+
+
+def resolve_surface(scene, o, d, hit: Hit) -> Surface:
+    """Reconstruct p/N/uvw/material for the winning primitive
+    (FromNodeCoords + per-object attribute code, scene.h:509-513)."""
+    n_rays = o.shape[0]
+    p_world = o + hit.t[..., None] * d
+
+    nrm_w = jnp.zeros((n_rays, 3), o.dtype)
+    uvw = jnp.full((n_rays, 3), 0.5, o.dtype)
+    mtl = jnp.zeros((n_rays,), jnp.int32)
+
+    def group_attrs(group, attr_fn):
+        itm = group.itm[hit.inst]
+        pos = group.pos[hit.inst]
+        nrm = group.nrm[hit.inst]
+        lo = jnp.einsum("nij,nj->ni", itm, o - pos)
+        ld = jnp.einsum("nij,nj->ni", itm, d)
+        _, ln, luv = attr_fn(lo, ld, hit.t)
+        wn = normalize(jnp.einsum("nij,nj->ni", nrm, ln))
+        return wn, luv, group.mtl[hit.inst]
+
+    if scene.num_spheres > 0:
+        wn, luv, m = group_attrs(scene.spheres, sphere_attributes)
+        mask = (hit.kind == KIND_SPHERE)[:, None]
+        nrm_w = jnp.where(mask, wn, nrm_w)
+        uvw = jnp.where(mask, luv, uvw)
+        mtl = jnp.where(hit.kind == KIND_SPHERE, m, mtl)
+
+    if scene.num_planes > 0:
+        wn, luv, m = group_attrs(scene.planes, plane_attributes)
+        mask = (hit.kind == KIND_PLANE)[:, None]
+        nrm_w = jnp.where(mask, wn, nrm_w)
+        uvw = jnp.where(mask, luv, uvw)
+        mtl = jnp.where(hit.kind == KIND_PLANE, m, mtl)
+
+    if scene.mesh is not None and scene.num_mesh_inst > 0:
+        mesh = scene.mesh
+        f = hit.face
+        bc = 1.0 - hit.ba - hit.bb
+        ln = (mesh.tri_na[f] * hit.ba[:, None]
+              + mesh.tri_nb[f] * hit.bb[:, None]
+              + mesh.tri_nc[f] * bc[:, None])
+        luv = (mesh.tri_ta[f] * hit.ba[:, None]
+               + mesh.tri_tb[f] * hit.bb[:, None]
+               + mesh.tri_tc[f] * bc[:, None])
+        nrm = scene.mesh_inst.nrm[hit.inst]
+        wn = normalize(jnp.einsum("nij,nj->ni", nrm, ln))
+        mask = (hit.kind == KIND_MESH)[:, None]
+        nrm_w = jnp.where(mask, wn, nrm_w)
+        uvw = jnp.where(mask, luv, uvw)
+        mtl = jnp.where(hit.kind == KIND_MESH, mesh.tri_mtl[f], mtl)
+
+    return Surface(p=p_world, n=nrm_w, uvw=uvw, mtl=mtl,
+                   front=hit.front, t=hit.t, valid=hit.is_hit)
+
+
+def trace_shadow(scene, o: jnp.ndarray, d: jnp.ndarray,
+                 t_max) -> jnp.ndarray:
+    """Shadow factor: 1.0 lit, 0.0 occluded (GenLight::Shadow,
+    Final/main.cpp:499-513; bias 1e-14, hit must satisfy bias < z < t_max).
+    `d` may be unnormalized — t is in units of |d| like the reference."""
+    hit = trace(scene, o, d)
+    occluded = hit.is_hit & (hit.t > 1e-14) & (hit.t < t_max)
+    return jnp.where(occluded, 0.0, 1.0)

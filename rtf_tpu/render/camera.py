@@ -1,0 +1,68 @@
+"""Camera ray generation.
+
+Reproduces the reference's camera model exactly (RenderPixel,
+Final/main.cpp:205-224): image plane at the focal distance, pixel grid
+top-left origin with y growing down, Halton-jittered subpixel offsets
+(main.cpp:147-162 generateSample), and thin-lens DOF sampling
+(main.cpp:246-262).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtf_tpu.core.halton import halton
+from rtf_tpu.core.math import normalize
+
+
+def image_plane_params(scene):
+    """(u, v, b): pixel steps and the center of pixel (0,0) in camera space
+    (main.cpp:205-216)."""
+    l = scene.focaldist
+    h = 2.0 * l * np.tan(scene.fov / 2.0 * (np.pi / 180.0))
+    w = h * float(scene.width) / float(scene.height)
+    u = w / scene.width
+    v = -h / scene.height
+    b = np.array([-w / 2.0 + u / 2.0, h / 2.0 + v / 2.0, -l], np.float32)
+    return float(u), float(v), b
+
+
+def primary_rays(scene, px: jnp.ndarray, py: jnp.ndarray,
+                 sample_idx: jnp.ndarray, key=None,
+                 halton_bases=(2, 3), dof: bool = False):
+    """Generate world-space primary rays.
+
+    px, py: [N] integer pixel coords; sample_idx: [N] Halton index j of the
+    subpixel sample (the reference jitters by Halton(j,2)*u, Halton(j,3)*v
+    from the pixel's top-left-centered base, main.cpp:147-162).
+    Returns (o [N,3], d [N,3] normalized).
+    """
+    u, v, b = image_plane_params(scene)
+    sx = halton(sample_idx, halton_bases[0]) * u
+    sy = halton(sample_idx, halton_bases[1]) * v
+    cx = px.astype(jnp.float32) * u + b[0] + sx
+    cy = py.astype(jnp.float32) * v + b[1] + sy
+    cz = jnp.full_like(cx, b[2])
+    target_cam = jnp.stack([cx, cy, cz], axis=-1)   # point on focal plane
+
+    if dof and scene.dof > 0 and key is not None:
+        k1, k2 = jax.random.split(key)
+        r = jnp.sqrt(jax.random.uniform(k1, px.shape)) * scene.dof
+        ang = jax.random.uniform(k2, px.shape) * (2.0 * jnp.pi)
+        lens_cam = jnp.stack(
+            [r * jnp.cos(ang), r * jnp.sin(ang), jnp.zeros_like(r)], axis=-1)
+        d_campos = lens_cam @ scene.cam_m.T   # m @ lens  (world offset)
+    else:
+        d_campos = jnp.zeros_like(target_cam)
+
+    d_world = target_cam @ scene.cam_m.T - d_campos
+    o = scene.cam_pos[None, :] + d_campos
+    return o, normalize(d_world)
+
+
+def pixel_grid(width: int, height: int):
+    """Flat [P] pixel coordinate arrays (row-major like the pixel iterator,
+    main.cpp:71-78: x = i % W, y = i / W)."""
+    idx = jnp.arange(width * height, dtype=jnp.int32)
+    return idx % width, idx // width

@@ -1,0 +1,83 @@
+"""Render configuration and per-project profiles.
+
+The reference hardcodes its knobs as per-project `#define`s
+(Final/main.cpp:19-32, lights.h:16-18, materials.h:20-25); each project
+directory is effectively one config.  Here they are one frozen dataclass,
+and `PROFILES` reproduces each project's settings.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    # ---- antialiasing (main.cpp:20-24, generateSample/VariantOverThreshold)
+    min_samples: int = 4            # MIN_SAMPLE
+    max_samples: int = 8            # MAX_SAMPLE
+    variance_threshold: float = 1e-3  # THRESHOLD
+    halton_base_x: int = 2          # HALTON_BASE_1
+    halton_base_y: int = 3          # HALTON_BASE_2
+
+    # ---- recursion
+    bounces: int = 4                # BOUNCE
+
+    # ---- direct lighting
+    light_average: bool = True      # Final's coef = 1/numLights (main.cpp:545)
+    inverse_square: bool = True     # point-light 1/r^2 falloff (lights.h:130)
+    shadow_min: int = 4             # MIN_SHADOW_SAMPLES (lights.h:17)
+    shadow_max: int = 16            # MAX_SHADOW_SAMPLES (lights.h:18)
+
+    # ---- depth of field (main.cpp:19,246-262)
+    cam_samples: int = 64           # CAM_SAMPLE lens table size
+
+    # ---- GI
+    gi_mode: str = "none"           # none | hemisphere | pathtrace | photon
+    hemisphere_samples: int = 30    # HEMISPHERE_SAMPLE
+    photon_count: int = 1_000_000   # MAX_NUM_OF_PHOTON
+    photon_bounces: int = 8         # PHOTON_BOUNCE
+    caustic_count: int = 1_000_000
+    caustic_bounces: int = 5
+    knn_k: int = 400                # EstimateIrradiance<400> (main.cpp:699)
+    knn_radius: float = 1.0
+
+    # ---- output
+    gamma: float = 2.2              # 0/None disables (pre-proj11 projects)
+    # thresholds (materials.h:20-25)
+    total_reflection_threshold: float = 1.001
+    color_threshold: float = 0.001
+
+    # ---- wavefront engine
+    queue_factor: float = 1.0       # secondary-queue capacity / primary rays
+    seed: int = 0
+
+    def with_(self, **kw) -> "RenderConfig":
+        return replace(self, **kw)
+
+
+PROFILES = {
+    # Proj3: primary + Blinn + hard shadows, 1 spp, no gamma, no recursion
+    "proj3": RenderConfig(min_samples=1, max_samples=1, bounces=0,
+                          light_average=False, inverse_square=False,
+                          shadow_min=1, shadow_max=1, gamma=0.0),
+    # Proj4-6: + reflections/refractions (Whitted), still 1 spp
+    "proj5": RenderConfig(min_samples=1, max_samples=1, bounces=5,
+                          light_average=False, inverse_square=False,
+                          shadow_min=1, shadow_max=1, gamma=0.0),
+    # Proj8: adaptive AA 4..64
+    "proj8": RenderConfig(min_samples=4, max_samples=64, bounces=5,
+                          light_average=False, inverse_square=False,
+                          shadow_min=1, shadow_max=1, gamma=0.0),
+    # Proj10: soft shadows + glossy
+    "proj10": RenderConfig(min_samples=4, max_samples=64, bounces=5,
+                           light_average=False, gamma=0.0),
+    # Proj11: MC GI (hemisphere at first hit), gamma 2.2
+    "proj11": RenderConfig(min_samples=4, max_samples=16, bounces=4,
+                           gi_mode="hemisphere", hemisphere_samples=20),
+    # Proj12: path tracing — 1 indirect sample per bounce, many AA samples
+    "proj12": RenderConfig(min_samples=4, max_samples=16, bounces=8,
+                           gi_mode="pathtrace", hemisphere_samples=1),
+    # Proj13 / Final: hybrid — hemisphere at first bounce, photon map deeper
+    "final": RenderConfig(),
+    "photon": RenderConfig(gi_mode="photon", hemisphere_samples=30),
+}

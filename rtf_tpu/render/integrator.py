@@ -1,0 +1,237 @@
+"""Wavefront integrator: iterative reflect/refract queue.
+
+The reference's recursive MtlBlinn::Shade (Final/main.cpp:516-707) spawns
+up to two child rays per hit (Fresnel-weighted reflection + refraction)
+and recurses `bounceCount` deep.  Here the recursion becomes data:
+
+* every live path is a lane in a fixed-capacity SoA queue,
+* one bounce = trace the whole queue, splat `throughput x local shading`
+  into the framebuffer via segment_sum, then emit child candidates,
+* 2C candidates are compacted back to capacity C by throughput-priority
+  top-k (stream compaction — the TPU replacement for call stacks).
+
+Beer-Lambert absorption (main.cpp:620,632, Attenuation materials.h:60-66)
+is deferred: each lane carries the spawning material's absorption and
+applies it once its own hit distance is known, exactly reproducing
+`rK * (h.front ? 1 : e^{-a z}) * Shade(...)`.
+
+Environment-on-miss applies to refraction rays only; reflection misses
+add nothing (quirk of main.cpp:613-638, preserved).  GI hooks:
+  * 'hemisphere' / 'pathtrace': cosine-weighted hemisphere fan-out at the
+    first hit (main.cpp:642-693), continued through the same queue;
+  * 'photon': deep-bounce photon-map irradiance gather (main.cpp:694-705)
+    — wired in rtf_tpu/gi.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rtf_tpu.core.math import dot, luma, normalize, offset_origin
+from rtf_tpu.ops.texture import sample_background, sample_environment
+from rtf_tpu.ops.trace import resolve_surface, trace
+from rtf_tpu.render.shade import (
+    direct_lighting, fresnel_split, sample_material,
+)
+
+
+@struct.dataclass
+class RayQueue:
+    o: jnp.ndarray          # [C,3]
+    d: jnp.ndarray          # [C,3] normalized
+    tput: jnp.ndarray       # [C,3] accumulated throughput
+    absorb: jnp.ndarray     # [C,3] spawning material's absorption
+    pixel: jnp.ndarray      # [C] int32 framebuffer index
+    is_refract: jnp.ndarray  # [C] bool (env-on-miss only for these)
+    alive: jnp.ndarray      # [C] bool
+
+    @property
+    def capacity(self):
+        return self.o.shape[0]
+
+
+def _empty_queue(c: int) -> RayQueue:
+    z3 = jnp.zeros((c, 3), jnp.float32)
+    return RayQueue(o=z3, d=z3.at[:, 2].set(1.0), tput=z3, absorb=z3,
+                    pixel=jnp.zeros(c, jnp.int32),
+                    is_refract=jnp.zeros(c, bool),
+                    alive=jnp.zeros(c, bool))
+
+
+def _compact(cand: RayQueue, capacity: int) -> RayQueue:
+    """Keep the top-`capacity` candidates by throughput priority."""
+    pri = jnp.where(cand.alive, luma(cand.tput), -1.0)
+    _, idx = jax.lax.top_k(pri, capacity)
+    take = lambda a: a[idx]
+    return RayQueue(o=take(cand.o), d=take(cand.d), tput=take(cand.tput),
+                    absorb=take(cand.absorb), pixel=take(cand.pixel),
+                    is_refract=take(cand.is_refract), alive=take(cand.alive))
+
+
+def _concat_queues(a: RayQueue, b: RayQueue) -> RayQueue:
+    cat = lambda x, y: jnp.concatenate([x, y], axis=0)
+    return RayQueue(o=cat(a.o, b.o), d=cat(a.d, b.d), tput=cat(a.tput, b.tput),
+                    absorb=cat(a.absorb, b.absorb),
+                    pixel=cat(a.pixel, b.pixel),
+                    is_refract=cat(a.is_refract, b.is_refract),
+                    alive=cat(a.alive, b.alive))
+
+
+class ShadeResult(NamedTuple):
+    radiance: jnp.ndarray    # [N,3] weighted contribution of these lanes
+    children: RayQueue       # [2N] reflect+refract candidates
+    hit_mask: jnp.ndarray    # [N] bool
+    hit_t: jnp.ndarray       # [N]
+    surf_p: jnp.ndarray      # [N,3] (GI hooks need the hit point)
+    surf_n: jnp.ndarray      # [N,3]
+    kd: jnp.ndarray          # [N,3]
+    k_eff: jnp.ndarray       # [N,3] throughput after parent absorption
+
+
+def shade_lanes(scene, cfg, o, d, tput, absorb, pixel, alive, is_refract,
+                key) -> ShadeResult:
+    """Trace + locally shade one wavefront; return radiance & children."""
+    hit = trace(scene, o, d)
+    surf = resolve_surface(scene, o, d, hit)
+    hit_mask = surf.valid & alive
+
+    # Beer-Lambert attenuation by the PARENT material through this segment
+    atten = jnp.exp(-absorb * surf.t[:, None])
+    k_eff = tput * jnp.where(surf.front[:, None], 1.0, atten)
+
+    mtl = sample_material(scene, surf.mtl, surf.uvw)
+    view = -d  # d is normalized
+    col = mtl.emission + direct_lighting(scene, cfg, surf, mtl, view, key)
+    radiance = jnp.where(hit_mask[:, None], k_eff * col, 0.0)
+
+    # environment on refraction-ray miss (main.cpp:634-636)
+    env_mask = alive & ~surf.valid & is_refract
+    if scene.env_tm >= 0 or True:
+        env = sample_environment(scene, d)
+        radiance = radiance + jnp.where(env_mask[:, None], tput * env, 0.0)
+
+    # children
+    fr = fresnel_split(cfg, surf, mtl, view)
+    thr = cfg.color_threshold
+    r_go = hit_mask & (jnp.max(fr.r_k, axis=-1) > thr)
+    t_go = hit_mask & (jnp.max(fr.t_k, axis=-1) > thr)
+    refl = RayQueue(o=offset_origin(surf.p, surf.n, fr.r_dir),
+                    d=fr.r_dir, tput=k_eff * fr.r_k,
+                    absorb=mtl.absorption, pixel=pixel,
+                    is_refract=jnp.zeros_like(r_go), alive=r_go)
+    refr = RayQueue(o=offset_origin(surf.p, surf.n, fr.t_dir),
+                    d=fr.t_dir, tput=k_eff * fr.t_k,
+                    absorb=mtl.absorption, pixel=pixel,
+                    is_refract=jnp.ones_like(t_go), alive=t_go)
+    children = _concat_queues(refl, refr)
+    return ShadeResult(radiance=radiance, children=children,
+                       hit_mask=hit_mask, hit_t=surf.t,
+                       surf_p=surf.p, surf_n=surf.n, kd=mtl.kd, k_eff=k_eff)
+
+
+def _splat(image, pixel, values, mask):
+    v = jnp.where(mask[:, None], values, 0.0)
+    return image + jax.ops.segment_sum(v, pixel, num_segments=image.shape[0])
+
+
+class WaveOutput(NamedTuple):
+    radiance: jnp.ndarray    # [P,3] sum of sample radiances
+    hit_count: jnp.ndarray   # [P] number of primary samples that hit
+    z_min: jnp.ndarray       # [P] closest primary hit depth
+
+
+def render_wave(scene, cfg, o, d, pixel, sample_mask, key,
+                num_pixels: int) -> WaveOutput:
+    """Render one wave of primary samples through the full bounce queue.
+
+    `sample_mask` disables lanes (adaptive-AA wave 2 only touches
+    unconverged pixels).  Radiance is the SUM over samples; the caller
+    divides by per-pixel hit counts, reproducing the reference's
+    average-over-hit-samples (main.cpp:309-311).
+    """
+    n = o.shape[0]
+    image = jnp.zeros((num_pixels, 3), jnp.float32)
+
+    k_prim, k_loop = jax.random.split(key)
+    res = shade_lanes(scene, cfg, o, d,
+                      tput=jnp.ones((n, 3), jnp.float32),
+                      absorb=jnp.zeros((n, 3), jnp.float32),
+                      pixel=pixel,
+                      alive=sample_mask,
+                      is_refract=jnp.zeros(n, bool),
+                      key=k_prim)
+    image = _splat(image, pixel, res.radiance, sample_mask)
+    hit_count = jax.ops.segment_sum(
+        (res.hit_mask & sample_mask).astype(jnp.int32), pixel,
+        num_segments=num_pixels)
+    big = jnp.float32(1.0e30)
+    z = jnp.where(res.hit_mask & sample_mask, res.hit_t, big)
+    z_min = -jax.ops.segment_max(-z, pixel, num_segments=num_pixels)
+
+    capacity = max(int(n * cfg.queue_factor), 1)
+    # GI fan-out at the first hit (hemisphere / pathtrace modes): one
+    # hemisphere sample per chunk, traced through the shared bounce queue
+    # so peak memory stays O(n) (the reference pays the same ray count,
+    # main.cpp:655-692).
+    if cfg.gi_mode in ("hemisphere", "pathtrace", "photon") and cfg.hemisphere_samples > 0:
+        k_gi = jax.random.fold_in(key, 101)
+        for i in range(cfg.hemisphere_samples):
+            chunk = _hemisphere_chunk(scene, cfg, res, pixel,
+                                      jax.random.fold_in(k_gi, i))
+            image, _ = _run_bounces(scene, cfg, chunk, image,
+                                    jax.random.fold_in(k_loop, 1000 + i),
+                                    capacity)
+
+    q = _compact(res.children, capacity)
+    image, _ = _run_bounces(scene, cfg, q, image, k_loop, capacity)
+    return WaveOutput(radiance=image, hit_count=hit_count, z_min=z_min)
+
+
+def _run_bounces(scene, cfg, q: RayQueue, image, key, capacity):
+    for b in range(cfg.bounces):
+        kb = jax.random.fold_in(key, b)
+        res = shade_lanes(scene, cfg, q.o, q.d, q.tput, q.absorb, q.pixel,
+                          q.alive, q.is_refract, kb)
+        image = image + jax.ops.segment_sum(
+            res.radiance, q.pixel, num_segments=image.shape[0])
+        if b + 1 < cfg.bounces:
+            q = _compact(res.children, capacity)
+    return image, q
+
+
+def _hemisphere_chunk(scene, cfg, res: ShadeResult, pixel, key) -> RayQueue:
+    """One hemisphere GI sample per first-hit lane (main.cpp:642-693),
+    weighted kd * (N.wi) / S.
+
+    The reference draws phi ~ U(0,2pi), sin(theta) = sqrt(U); we reproduce
+    the identical distribution (and its basis-building rule,
+    main.cpp:643-654).
+    """
+    n = res.surf_p.shape[0]
+    s = cfg.hemisphere_samples
+    nz = res.surf_n
+    v1 = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+    v2 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    use1 = (dot(nz, jnp.broadcast_to(v1, nz.shape)) < 0.4)[:, None]
+    nx = normalize(jnp.where(use1, jnp.cross(nz, v1), jnp.cross(nz, v2)))
+    ny = jnp.cross(nz, nx)
+
+    k1, k2 = jax.random.split(key)
+    phi = jax.random.uniform(k1, (n,)) * (2.0 * jnp.pi)
+    ysq = jax.random.uniform(k2, (n,))
+    sin_t = jnp.sqrt(ysq)
+    cos_t = jnp.sqrt(1.0 - ysq)
+    hdir = normalize(nx * (sin_t * jnp.cos(phi))[:, None]
+                     + ny * (sin_t * jnp.sin(phi))[:, None]
+                     + nz * cos_t[:, None])
+    w = jnp.maximum(0.0, dot(hdir, nz))[:, None]
+    tput = res.k_eff * res.kd * w / float(s)
+    alive = res.hit_mask & (jnp.max(tput, axis=-1) > 0)
+    return RayQueue(
+        o=offset_origin(res.surf_p, res.surf_n, hdir), d=hdir, tput=tput,
+        absorb=jnp.zeros((n, 3), jnp.float32), pixel=pixel,
+        is_refract=jnp.ones(n, bool),  # GI miss samples the environment
+        alive=alive)

@@ -1,0 +1,140 @@
+"""Top-level renderer: waves of samples, adaptive AA, AOVs, tone mapping.
+
+Replaces the reference's thread pool + atomic pixel queue
+(Final/main.cpp:65-87,984-998) with jit-compiled megabatches: a wave =
+(all pixels) x (a range of sample indices).  Adaptive antialiasing is the
+reference's two-phase scheme (main.cpp:266-307): MIN_SAMPLE samples
+everywhere, then pixels whose per-channel sample variance exceeds
+THRESHOLD (VariantOverThreshold, main.cpp:164-189) get the remaining
+MAX-MIN samples, as a masked second wave.
+
+Output conventions match RenderImage (scene.h:540-656): gamma 2.2 applied
+before the byte conversion `Clamp(int(c*255))` (cyColor.h:245), misses
+show the background sampled at (x/W, y/H) (main.cpp:325-338), z-buffer and
+sample-count AOVs included.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtf_tpu.core.math import BIGFLOAT
+from rtf_tpu.ops.texture import sample_background
+from rtf_tpu.render.camera import pixel_grid, primary_rays
+from rtf_tpu.render.config import RenderConfig
+from rtf_tpu.render.integrator import render_wave
+
+
+class RenderResult(NamedTuple):
+    image: np.ndarray         # [H,W,3] uint8 (gamma'd like the reference)
+    radiance: np.ndarray      # [H,W,3] float32 linear
+    z: np.ndarray             # [H,W] float32, BIGFLOAT = miss
+    sample_count: np.ndarray  # [H,W] int32
+
+
+def _wave_stats(scene, cfg, sample_lo: int, sample_hi: int, key,
+                mask_pixels):
+    """Trace samples [sample_lo, sample_hi) for all pixels; returns summed
+    radiance, summed squares (for variance), hit counts, z."""
+    w, h = scene.width, scene.height
+    num_px = w * h
+    px, py = pixel_grid(w, h)
+    nspp = sample_hi - sample_lo
+
+    # one sub-wave per sample index (lax.scan: compiled once, constant
+    # shapes): keeps peak memory at P lanes and lets us accumulate
+    # per-sample squares for the variance test
+    def body(carry, j):
+        rad, rad2, hits, z = carry
+        kj = jax.random.fold_in(key, j)
+        o, d = primary_rays(scene, px, py, jnp.full_like(px, j), key=kj,
+                            halton_bases=(cfg.halton_base_x, cfg.halton_base_y),
+                            dof=scene.dof > 0)
+        out = render_wave(scene, cfg, o, d, jnp.arange(num_px), mask_pixels,
+                          jax.random.fold_in(kj, 7), num_px)
+        rad = rad + out.radiance
+        rad2 = rad2 + out.radiance * out.radiance
+        hits = hits + out.hit_count
+        z = jnp.minimum(z, out.z_min)
+        return (rad, rad2, hits, z), None
+
+    init = (jnp.zeros((num_px, 3), jnp.float32),
+            jnp.zeros((num_px, 3), jnp.float32),
+            jnp.zeros((num_px,), jnp.int32),
+            jnp.full((num_px,), BIGFLOAT, jnp.float32))
+    (rad, rad2, hits, z), _ = jax.lax.scan(
+        body, init, jnp.arange(sample_lo, sample_hi))
+    return rad, rad2, hits, z
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_device(scene, cfg: RenderConfig, key) -> tuple:
+    """Full adaptive render on device. Returns (radiance[P,3], hits[P],
+    z[P], samples[P])."""
+    w, h = scene.width, scene.height
+    num_px = w * h
+    all_px = jnp.ones((num_px,), bool)
+
+    k1, k2 = jax.random.split(key)
+    rad, rad2, hits, z = _wave_stats(scene, cfg, 0, cfg.min_samples, k1, all_px)
+    nsamples = jnp.full((num_px,), cfg.min_samples, jnp.int32)
+
+    if cfg.max_samples > cfg.min_samples:
+        # variance over the HIT samples of each pixel (colorlist semantics,
+        # main.cpp:164-189: only hit samples enter the list)
+        cnt = jnp.maximum(hits, 1).astype(jnp.float32)[:, None]
+        mean = rad / cnt
+        var = rad2 / cnt - mean * mean
+        need = (jnp.max(var, axis=-1) > cfg.variance_threshold) & (hits > 0)
+        rad_b, _, hits_b, z_b = _wave_stats(
+            scene, cfg, cfg.min_samples, cfg.max_samples, k2, need)
+        rad = rad + rad_b
+        hits = hits + hits_b
+        z = jnp.minimum(z, z_b)
+        nsamples = nsamples + jnp.where(need, cfg.max_samples - cfg.min_samples, 0)
+
+    return rad, hits, z, nsamples
+
+
+def finalize(scene, cfg: RenderConfig, rad, hits, z, nsamples) -> RenderResult:
+    """Average over hit samples, background for all-miss pixels, gamma +
+    byte conversion (main.cpp:309-338)."""
+    w, h = scene.width, scene.height
+    num_px = w * h
+    px, py = pixel_grid(w, h)
+
+    cnt = jnp.maximum(hits, 1).astype(jnp.float32)[:, None]
+    avg = rad / cnt
+
+    # background for pixels no sample hit (uvw = (x/W, y/H, 0))
+    uvw = jnp.stack([px.astype(jnp.float32) / w,
+                     py.astype(jnp.float32) / h,
+                     jnp.zeros((num_px,), jnp.float32)], axis=-1)
+    bg = sample_background(scene, uvw)
+    miss = hits == 0
+    avg = jnp.where(miss[:, None], bg, avg)
+    zout = jnp.where(miss, BIGFLOAT, z)
+
+    if cfg.gamma and cfg.gamma > 0:
+        avg_g = jnp.power(jnp.maximum(avg, 0.0), 1.0 / cfg.gamma)
+    else:
+        avg_g = avg
+    img8 = jnp.clip(jnp.floor(avg_g * 255.0), 0, 255).astype(jnp.uint8)
+
+    return RenderResult(
+        image=np.asarray(img8).reshape(h, w, 3),
+        radiance=np.asarray(avg).reshape(h, w, 3),
+        z=np.asarray(zout).reshape(h, w),
+        sample_count=np.asarray(nsamples).reshape(h, w),
+    )
+
+
+def render(scene, cfg: RenderConfig = RenderConfig(), seed: int = None) -> RenderResult:
+    """Host-facing entry: render a built GpuScene with a config."""
+    key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+    rad, hits, z, ns = render_device(scene, cfg, key)
+    return finalize(scene, cfg, rad, hits, z, ns)

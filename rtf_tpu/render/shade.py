@@ -1,0 +1,177 @@
+"""Shading: Blinn-Phong direct lighting + Fresnel reflect/refract split.
+
+Wavefront re-formulation of MtlBlinn::Shade (Final/main.cpp:516-707):
+* direct term per light with front-face gating and the Final build's
+  1/numLights averaging (main.cpp:544-572),
+* soft shadows by disk sampling of the spherical point light with the
+  4 -> 16 adaptive escalation (lights.h:67-130),
+* Schlick Fresnel + total-internal-reflection split producing the
+  reflect/refract child weights rK/tK (main.cpp:577-610).
+
+All functions are batched over the wavefront; there is no recursion here —
+child rays are returned as data for the integrator's queue.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rtf_tpu.core.math import (
+    BIGFLOAT, cross, dot, length_sq, normalize, offset_origin, reflect,
+)
+from rtf_tpu.ops.texture import sample_textured_color
+from rtf_tpu.ops.trace import trace_shadow
+from rtf_tpu.scene.build import LIGHT_AMBIENT, LIGHT_DIRECT, LIGHT_POINT
+
+
+class MtlSample(NamedTuple):
+    """Material attributes sampled at the hit (textures resolved)."""
+    kd: jnp.ndarray      # [N,3] diffuse (textured)
+    ks: jnp.ndarray      # [N,3] specular (textured)
+    gloss: jnp.ndarray   # [N]
+    emission: jnp.ndarray   # [N,3]
+    reflection: jnp.ndarray  # [N,3] plain colors (Shade uses GetColor)
+    refraction: jnp.ndarray  # [N,3]
+    absorption: jnp.ndarray  # [N,3]
+    ior: jnp.ndarray     # [N]
+
+
+def sample_material(scene, mtl_id: jnp.ndarray, uvw: jnp.ndarray) -> MtlSample:
+    m = scene.materials
+    kd = sample_textured_color(scene, m.diffuse[mtl_id], m.diffuse_tm[mtl_id], uvw)
+    ks = sample_textured_color(scene, m.specular[mtl_id], m.specular_tm[mtl_id], uvw)
+    return MtlSample(
+        kd=kd, ks=ks,
+        gloss=m.glossiness[mtl_id],
+        emission=m.emission[mtl_id],
+        reflection=m.reflection[mtl_id],
+        refraction=m.refraction[mtl_id],
+        absorption=m.absorption[mtl_id],
+        ior=m.ior[mtl_id],
+    )
+
+
+def _point_light_basis(dirv: jnp.ndarray):
+    """Disk basis for the spherical light (lights.h:74-88): v1 from x or y
+    axis by the reference's 0.8 dot test, v2 = v1 x dir."""
+    x_axis = jnp.array([1.0, 0.0, 0.0], dirv.dtype)
+    y_axis = jnp.array([0.0, 1.0, 0.0], dirv.dtype)
+    use_y = (dot(dirv, jnp.broadcast_to(x_axis, dirv.shape)) > 0.8)[..., None]
+    v1 = jnp.where(use_y, cross(y_axis, dirv), cross(x_axis, dirv))
+    v2 = cross(v1, dirv)
+    return normalize(v1), normalize(v2)
+
+
+def _point_shadow(scene, p, n, lpos, size, nsamp, key, active):
+    """Mean shadow over `nsamp` disk samples of the light sphere
+    (lights.h:92-107), correct disk offsets in the (v1,v2) basis.
+    Shadow rays use unnormalized dir = target - p with t_max = 1."""
+    if nsamp <= 1 or not scene.any_soft_light:
+        d = lpos - p
+        return trace_shadow(scene, offset_origin(p, n, d), d, 1.0)
+    dirv = lpos - p
+    v1, v2 = _point_light_basis(dirv)
+    acc = jnp.zeros(p.shape[0], p.dtype)
+    keys = jax.random.split(key, nsamp)
+    for i in range(nsamp):
+        k1, k2 = jax.random.split(keys[i])
+        r = jnp.sqrt(jax.random.uniform(k1, (p.shape[0],))) * size
+        ang = jax.random.uniform(k2, (p.shape[0],)) * (2.0 * jnp.pi)
+        off = v1 * (r * jnp.cos(ang))[:, None] + v2 * (r * jnp.sin(ang))[:, None]
+        d = lpos + off - p
+        acc = acc + trace_shadow(scene, offset_origin(p, n, d), d, 1.0)
+    return acc / float(nsamp)
+
+
+def direct_lighting(scene, cfg, surf, mtl: MtlSample, view: jnp.ndarray,
+                    key) -> jnp.ndarray:
+    """Blinn-Phong sum over lights (main.cpp:544-572). `view` = -ray.dir,
+    normalized. Only front hits receive light; ambient uses kd."""
+    n_rays = surf.p.shape[0]
+    color = jnp.zeros((n_rays, 3), surf.p.dtype)
+    nlights = max(len(scene.light_kinds), 1)
+    coef = 1.0 / nlights if cfg.light_average else 1.0
+    front = surf.front
+
+    for li, kind in enumerate(scene.light_kinds):
+        lkey = jax.random.fold_in(key, li)
+        intensity = scene.lights.intensity[li]
+        if kind == "ambient":
+            contrib = mtl.kd * intensity[None, :]
+            color += jnp.where(front[:, None], contrib, 0.0)
+            continue
+
+        if kind == "direct":
+            ldir = scene.lights.direction[li]
+            sdir = jnp.broadcast_to(-ldir, surf.p.shape)
+            shadow = trace_shadow(
+                scene, offset_origin(surf.p, surf.n, sdir), sdir, BIGFLOAT)
+            illum = shadow[:, None] * intensity[None, :]
+            l_vec = jnp.broadcast_to(-ldir, surf.p.shape)
+        else:  # point
+            lpos = scene.lights.position[li]
+            shadow = _point_shadow(scene, surf.p, surf.n, lpos,
+                                   scene.lights.size[li],
+                                   cfg.shadow_min, lkey, front)
+            if cfg.shadow_min < cfg.shadow_max and scene.any_soft_light:
+                # adaptive escalation: penumbra lanes re-sample at max rate
+                # (lights.h:110-129)
+                penumbra = (shadow > 0.0) & (shadow < 1.0)
+                shadow16 = _point_shadow(scene, surf.p, surf.n, lpos,
+                                         scene.lights.size[li],
+                                         cfg.shadow_max,
+                                         jax.random.fold_in(lkey, 7), penumbra)
+                shadow = jnp.where(penumbra, shadow16, shadow)
+            illum = shadow[:, None] * intensity[None, :]
+            if cfg.inverse_square:
+                illum = illum / jnp.maximum(length_sq(surf.p - lpos), 1e-30)[:, None]
+            l_vec = normalize(lpos - surf.p)
+
+        illum = illum * coef
+        h = normalize(l_vec + view)
+        cos_nl = jnp.maximum(0.0, dot(surf.n, l_vec))
+        cos_nh = jnp.maximum(0.0, dot(surf.n, h))
+        spec = jnp.power(cos_nh, mtl.gloss)
+        contrib = (mtl.kd + mtl.ks * spec[:, None]) * illum * cos_nl[:, None]
+        color += jnp.where(front[:, None], contrib, 0.0)
+    return color
+
+
+class FresnelSplit(NamedTuple):
+    r_dir: jnp.ndarray   # [N,3] reflection direction (normalized)
+    t_dir: jnp.ndarray   # [N,3] refraction direction (normalized)
+    r_k: jnp.ndarray     # [N,3] reflection weight rK
+    t_k: jnp.ndarray     # [N,3] refraction weight tK
+
+
+def fresnel_split(cfg, surf, mtl: MtlSample, view: jnp.ndarray) -> FresnelSplit:
+    """Schlick + TIR split (main.cpp:577-610)."""
+    n = surf.n
+    ior = jnp.maximum(mtl.ior, 1e-6)
+    eta = jnp.where(surf.front, 1.0 / ior, ior)   # ein/eout
+
+    cos_i = dot(n, view)
+    y = jnp.where((cos_i > 0.0)[:, None], n, -n)
+    z = cross(view, y)
+    x = normalize(cross(y, z))
+
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
+    sin_o = jnp.clip(sin_i * eta, 0.0, 1.0)
+    cos_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_o * sin_o))
+
+    t_dir = -x * sin_o[:, None] - y * cos_o[:, None]
+    r_dir = reflect(view, n)
+
+    c0 = (eta - 1.0) ** 2 / (eta + 1.0) ** 2
+    r_c = c0 + (1.0 - c0) * jnp.power(1.0 - jnp.abs(cos_i), 5.0)
+    t_c = 1.0 - r_c
+
+    tot = (eta * sin_i) > cfg.total_reflection_threshold
+    t_k = jnp.where(tot[:, None], 0.0, mtl.refraction * t_c[:, None])
+    r_k = jnp.where(tot[:, None],
+                    mtl.reflection + mtl.refraction,
+                    mtl.reflection + mtl.refraction * r_c[:, None])
+    return FresnelSplit(r_dir=normalize(r_dir), t_dir=normalize(t_dir),
+                        r_k=r_k, t_k=t_k)

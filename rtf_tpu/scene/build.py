@@ -1,0 +1,445 @@
+"""Scene builder: SceneDesc (host) -> GpuScene (device pytree).
+
+This is where the reference's pointer-based scene graph becomes TPU-native
+data:
+
+* the recursive Node hierarchy (scene.h:438-514) is flattened into
+  per-instance world<->local transform arrays, grouped by primitive type so
+  intersection is a batched kernel per group instead of virtual dispatch;
+* materials become a table; MultiMtl sub-material dispatch by hInfo.mtlID
+  (materials.h:388-405) becomes a per-face global material id gather;
+* meshes are pre-indexed into per-face SoA (no vertex index indirection on
+  device) with a flattened BVH per mesh, concatenated into one arena;
+* file textures are stacked into a single row-atlas so sampling is a pair
+  of dynamic gathers.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from rtf_tpu.core.transform import Transform
+from rtf_tpu.ops.bvh import build_mesh_bvh
+from rtf_tpu.scene.model import (
+    MaterialDesc, MeshDesc, NodeDesc, SceneDesc, TexturedColorDesc,
+)
+
+F32 = np.float32
+I32 = np.int32
+
+LIGHT_AMBIENT, LIGHT_DIRECT, LIGHT_POINT = 0, 1, 2
+TEX_FILE, TEX_CHECKER = 0, 1
+
+
+@struct.dataclass
+class InstanceGroup:
+    """Instances of one primitive type. itm maps world->local
+    (Transformation::TransformTo), nrm = itm^T maps local normals -> world
+    (VectorTransformFrom, scene.h:240-243)."""
+    itm: jnp.ndarray       # [K,3,3]
+    pos: jnp.ndarray       # [K,3]
+    nrm: jnp.ndarray       # [K,3,3]
+    mtl: jnp.ndarray       # [K] int32 global material id
+    mesh_slot: jnp.ndarray  # [K] int32 (mesh group only; else zeros)
+
+
+@struct.dataclass
+class MeshArena:
+    """All meshes concatenated; one BVH arena with per-slot roots."""
+    tri_a: jnp.ndarray     # [F,3] vertex positions
+    tri_b: jnp.ndarray
+    tri_c: jnp.ndarray
+    tri_na: jnp.ndarray    # [F,3] vertex normals
+    tri_nb: jnp.ndarray
+    tri_nc: jnp.ndarray
+    tri_ta: jnp.ndarray    # [F,3] texture coords
+    tri_tb: jnp.ndarray
+    tri_tc: jnp.ndarray
+    tri_mtl: jnp.ndarray   # [F] int32 global material id
+    bvh_min: jnp.ndarray   # [N,3]
+    bvh_max: jnp.ndarray   # [N,3]
+    bvh_child: jnp.ndarray  # [N] int32 first child (arena-global), -1 = leaf
+    bvh_eoff: jnp.ndarray  # [N] int32 offset into bvh_elems
+    bvh_ecnt: jnp.ndarray  # [N] int32
+    bvh_elems: jnp.ndarray  # [E] int32 arena-global face ids
+    slot_root: jnp.ndarray  # [S] int32 root node id per mesh slot
+    max_leaf: int = struct.field(pytree_node=False, default=8)
+    max_depth: int = struct.field(pytree_node=False, default=32)
+
+
+@struct.dataclass
+class MaterialTable:
+    diffuse: jnp.ndarray       # [M,3]
+    diffuse_tm: jnp.ndarray    # [M] texmap id or -1
+    specular: jnp.ndarray
+    specular_tm: jnp.ndarray
+    emission: jnp.ndarray
+    emission_tm: jnp.ndarray
+    reflection: jnp.ndarray
+    reflection_tm: jnp.ndarray
+    refraction: jnp.ndarray
+    refraction_tm: jnp.ndarray
+    glossiness: jnp.ndarray    # [M]
+    refl_gloss: jnp.ndarray
+    refr_gloss: jnp.ndarray
+    ior: jnp.ndarray
+    absorption: jnp.ndarray    # [M,3]
+
+
+@struct.dataclass
+class LightTable:
+    kind: jnp.ndarray        # [L] int32
+    intensity: jnp.ndarray   # [L,3]
+    direction: jnp.ndarray   # [L,3] (direct lights, normalized)
+    position: jnp.ndarray    # [L,3] (point lights)
+    size: jnp.ndarray        # [L] point-light radius (soft shadows)
+
+
+@struct.dataclass
+class TextureTable:
+    atlas: jnp.ndarray   # [R, W, 3] float32; file textures stacked by rows
+    kind: jnp.ndarray    # [X] int32
+    width: jnp.ndarray   # [X]
+    height: jnp.ndarray  # [X]
+    row0: jnp.ndarray    # [X] row offset in atlas
+    c1: jnp.ndarray      # [X,3] checker colors
+    c2: jnp.ndarray
+
+
+@struct.dataclass
+class TexMapTable:
+    tex: jnp.ndarray   # [T] int32 texture id
+    itm: jnp.ndarray   # [T,3,3] uvw-space world->local (TransformTo)
+    pos: jnp.ndarray   # [T,3]
+
+
+@struct.dataclass
+class GpuScene:
+    spheres: InstanceGroup
+    planes: InstanceGroup
+    mesh_inst: InstanceGroup
+    mesh: Optional[MeshArena]
+    materials: MaterialTable
+    lights: LightTable
+    textures: TextureTable
+    texmaps: TexMapTable
+    bg_color: jnp.ndarray     # [3]
+    env_color: jnp.ndarray    # [3]
+    cam_pos: jnp.ndarray      # [3]
+    cam_m: jnp.ndarray        # [3,3] camera->world basis (columns x,up,z)
+    bg_tm: int = struct.field(pytree_node=False, default=-1)
+    env_tm: int = struct.field(pytree_node=False, default=-1)
+    fov: float = struct.field(pytree_node=False, default=40.0)
+    focaldist: float = struct.field(pytree_node=False, default=1.0)
+    dof: float = struct.field(pytree_node=False, default=0.0)
+    width: int = struct.field(pytree_node=False, default=200)
+    height: int = struct.field(pytree_node=False, default=150)
+    num_spheres: int = struct.field(pytree_node=False, default=0)
+    num_planes: int = struct.field(pytree_node=False, default=0)
+    num_mesh_inst: int = struct.field(pytree_node=False, default=0)
+    num_lights: int = struct.field(pytree_node=False, default=0)
+    # static copy of light kinds so shading can specialize per light
+    light_kinds: tuple = struct.field(pytree_node=False, default=())
+    # static: True when any point light has size > 0 (soft shadows)
+    any_soft_light: bool = struct.field(pytree_node=False, default=False)
+
+
+# --------------------------------------------------------------------------
+
+
+class _Builder:
+    def __init__(self, desc: SceneDesc, bvh_leaf: int = 8):
+        self.desc = desc
+        self.bvh_leaf = bvh_leaf
+        self.materials: List[MaterialDesc] = []
+        self.mtl_index = {}
+        self.texmaps = []       # (TextureDesc, Transform)
+        self.textures = []      # TextureDesc (unique by id)
+        self.tex_index = {}
+        self.groups = {"sphere": [], "plane": [], "mesh": []}
+        self.meshes: List[dict] = []
+
+    # ---- materials / textures
+
+    def add_material(self, m: MaterialDesc) -> int:
+        key = id(m)
+        if key in self.mtl_index:
+            return self.mtl_index[key]
+        idx = len(self.materials)
+        self.materials.append(m)
+        self.mtl_index[key] = idx
+        return idx
+
+    def add_texmap(self, tc: TexturedColorDesc) -> int:
+        if tc is None or tc.texmap is None or tc.texmap.texture is None:
+            return -1
+        tm = tc.texmap
+        tid = self.add_texture(tm.texture)
+        self.texmaps.append((tid, tm.transform))
+        return len(self.texmaps) - 1
+
+    def add_texture(self, tex) -> int:
+        key = id(tex)
+        if key in self.tex_index:
+            return self.tex_index[key]
+        idx = len(self.textures)
+        self.textures.append(tex)
+        self.tex_index[key] = idx
+        return idx
+
+    # ---- node flattening
+
+    def flatten(self):
+        named = dict(self.desc.materials)
+        default_mtl = MaterialDesc(name="__default__")
+
+        def resolve_mtl(node: NodeDesc) -> MaterialDesc:
+            if node.mtl_name and node.mtl_name in named:
+                return named[node.mtl_name]
+            return default_mtl
+
+        def walk(node: NodeDesc, parent_t: Transform):
+            world_t = parent_t.compose(node.transform)
+            if node.obj_kind is not None:
+                mtl = resolve_mtl(node)
+                mtl_id = self.add_material(mtl)
+                entry = {
+                    "itm": world_t.inv.astype(F32),
+                    "pos": world_t.pos.astype(F32),
+                    "nrm": world_t.inv.T.astype(F32),
+                    "mtl": mtl_id,
+                    "mesh_slot": 0,
+                }
+                if node.obj_kind == "mesh":
+                    entry["mesh_slot"] = self.add_mesh(node, mtl_id)
+                self.groups[node.obj_kind].append(entry)
+            for child in node.children:
+                walk(child, world_t)
+
+        for child in self.desc.root.children:
+            walk(child, self.desc.root.transform)
+
+    def add_mesh(self, node: NodeDesc, inst_mtl_id: int) -> int:
+        mesh: MeshDesc = node.mesh
+        # per-face global material ids: node material wins when bound
+        # (the reference only builds a MultiMtl when the node has no
+        # explicit material, xmlload.cpp:205,211-241)
+        if mesh.materials and node.mtl_name is None:
+            sub_ids = np.array([self.add_material(m) for m in mesh.materials], I32)
+            fmtl = sub_ids[np.clip(mesh.face_mtl, 0, len(sub_ids) - 1)]
+        else:
+            fmtl = np.full(mesh.num_faces, inst_mtl_id, I32)
+        self.meshes.append({"mesh": mesh, "face_mtl": fmtl})
+        return len(self.meshes) - 1
+
+    # ---- packing
+
+    def pack_group(self, kind: str) -> InstanceGroup:
+        g = self.groups[kind]
+        k = len(g)
+        if k == 0:
+            return InstanceGroup(
+                itm=jnp.zeros((0, 3, 3), F32), pos=jnp.zeros((0, 3), F32),
+                nrm=jnp.zeros((0, 3, 3), F32), mtl=jnp.zeros(0, I32),
+                mesh_slot=jnp.zeros(0, I32))
+        return InstanceGroup(
+            itm=jnp.asarray(np.stack([e["itm"] for e in g])),
+            pos=jnp.asarray(np.stack([e["pos"] for e in g])),
+            nrm=jnp.asarray(np.stack([e["nrm"] for e in g])),
+            mtl=jnp.asarray(np.array([e["mtl"] for e in g], I32)),
+            mesh_slot=jnp.asarray(np.array([e["mesh_slot"] for e in g], I32)),
+        )
+
+    def pack_meshes(self) -> Optional[MeshArena]:
+        if not self.meshes:
+            return None
+        tri = {k: [] for k in ("a", "b", "c", "na", "nb", "nc", "ta", "tb", "tc")}
+        tri_mtl = []
+        b_min, b_max, b_child, b_eoff, b_ecnt, b_elems = [], [], [], [], [], []
+        roots = []
+        face_base = 0
+        node_base = 0
+        elem_base = 0
+        for rec in self.meshes:
+            m: MeshDesc = rec["mesh"]
+            f = m.f
+            tri["a"].append(m.v[f[:, 0]])
+            tri["b"].append(m.v[f[:, 1]])
+            tri["c"].append(m.v[f[:, 2]])
+            fn = m.fn if m.fn is not None else f
+            tri["na"].append(m.vn[fn[:, 0]])
+            tri["nb"].append(m.vn[fn[:, 1]])
+            tri["nc"].append(m.vn[fn[:, 2]])
+            if m.vt is not None and m.ft is not None:
+                tri["ta"].append(m.vt[m.ft[:, 0]])
+                tri["tb"].append(m.vt[m.ft[:, 1]])
+                tri["tc"].append(m.vt[m.ft[:, 2]])
+            else:
+                z = np.full((len(f), 3), 0.5, F32)
+                tri["ta"].append(z)
+                tri["tb"].append(z)
+                tri["tc"].append(z)
+            tri_mtl.append(rec["face_mtl"])
+
+            bvh = build_mesh_bvh(m.v, f, self.bvh_leaf)
+            b_min.append(bvh.bmin)
+            b_max.append(bvh.bmax)
+            child = bvh.child.copy()
+            child[child >= 0] += node_base
+            b_child.append(child)
+            b_eoff.append(bvh.elem_off + elem_base)
+            b_ecnt.append(bvh.elem_cnt)
+            b_elems.append(bvh.elems + face_base)
+            roots.append(node_base + 1)
+            face_base += len(f)
+            node_base += len(bvh.bmin)
+            elem_base += len(bvh.elems)
+
+        def cat(parts, dtype=F32):
+            return jnp.asarray(np.concatenate(parts).astype(dtype))
+
+        return MeshArena(
+            tri_a=cat(tri["a"]), tri_b=cat(tri["b"]), tri_c=cat(tri["c"]),
+            tri_na=cat(tri["na"]), tri_nb=cat(tri["nb"]), tri_nc=cat(tri["nc"]),
+            tri_ta=cat(tri["ta"]), tri_tb=cat(tri["tb"]), tri_tc=cat(tri["tc"]),
+            tri_mtl=cat(tri_mtl, I32),
+            bvh_min=cat(b_min), bvh_max=cat(b_max),
+            bvh_child=cat(b_child, I32), bvh_eoff=cat(b_eoff, I32),
+            bvh_ecnt=cat(b_ecnt, I32), bvh_elems=cat(b_elems, I32),
+            slot_root=jnp.asarray(np.array(roots, I32)),
+            max_leaf=self.bvh_leaf,
+        )
+
+    def pack_materials(self) -> MaterialTable:
+        ms = self.materials or [MaterialDesc(name="__default__")]
+
+        def chan(get_tc):
+            cols = np.stack([np.asarray(get_tc(m).color, F32) for m in ms])
+            tms = np.array([self.add_texmap(get_tc(m)) for m in ms], I32)
+            return jnp.asarray(cols), jnp.asarray(tms)
+
+        dif, dif_tm = chan(lambda m: m.diffuse)
+        spec, spec_tm = chan(lambda m: m.specular)
+        emi, emi_tm = chan(lambda m: m.emission)
+        refl, refl_tm = chan(lambda m: m.reflection)
+        refr, refr_tm = chan(lambda m: m.refraction)
+        return MaterialTable(
+            diffuse=dif, diffuse_tm=dif_tm,
+            specular=spec, specular_tm=spec_tm,
+            emission=emi, emission_tm=emi_tm,
+            reflection=refl, reflection_tm=refl_tm,
+            refraction=refr, refraction_tm=refr_tm,
+            glossiness=jnp.asarray(np.array([m.glossiness for m in ms], F32)),
+            refl_gloss=jnp.asarray(np.array([m.reflection_glossiness for m in ms], F32)),
+            refr_gloss=jnp.asarray(np.array([m.refraction_glossiness for m in ms], F32)),
+            ior=jnp.asarray(np.array([m.ior for m in ms], F32)),
+            absorption=jnp.asarray(np.stack([np.asarray(m.absorption, F32) for m in ms])),
+        )
+
+    def pack_lights(self) -> LightTable:
+        ls = self.desc.lights
+        L = len(ls)
+        kind_map = {"ambient": LIGHT_AMBIENT, "direct": LIGHT_DIRECT, "point": LIGHT_POINT}
+        return LightTable(
+            kind=jnp.asarray(np.array([kind_map[l.kind] for l in ls], I32).reshape(L)),
+            intensity=jnp.asarray(np.stack([np.asarray(l.intensity, F32) for l in ls]) if L else np.zeros((0, 3), F32)),
+            direction=jnp.asarray(np.stack([np.asarray(l.direction, F32) for l in ls]) if L else np.zeros((0, 3), F32)),
+            position=jnp.asarray(np.stack([np.asarray(l.position, F32) for l in ls]) if L else np.zeros((0, 3), F32)),
+            size=jnp.asarray(np.array([l.size for l in ls], F32).reshape(L)),
+        )
+
+    def pack_textures(self):
+        X = len(self.textures)
+        kinds = np.zeros(max(X, 1), I32)
+        widths = np.ones(max(X, 1), I32)
+        heights = np.ones(max(X, 1), I32)
+        row0 = np.zeros(max(X, 1), I32)
+        c1 = np.zeros((max(X, 1), 3), F32)
+        c2 = np.zeros((max(X, 1), 3), F32)
+        slices = []
+        rows = 0
+        maxw = 1
+        for i, t in enumerate(self.textures):
+            if t.kind == "file" and t.data is not None:
+                kinds[i] = TEX_FILE
+                h, w = t.data.shape[:2]
+                widths[i], heights[i] = w, h
+                row0[i] = rows
+                rows += h
+                maxw = max(maxw, w)
+                slices.append(t.data)
+            else:
+                kinds[i] = TEX_CHECKER
+                c1[i] = np.asarray(t.color1, F32)
+                c2[i] = np.asarray(t.color2, F32)
+        atlas = np.zeros((max(rows, 1), maxw, 3), F32)
+        r = 0
+        for s in slices:
+            h, w = s.shape[:2]
+            atlas[r : r + h, :w] = s
+            r += h
+        tex_table = TextureTable(
+            atlas=jnp.asarray(atlas), kind=jnp.asarray(kinds),
+            width=jnp.asarray(widths), height=jnp.asarray(heights),
+            row0=jnp.asarray(row0), c1=jnp.asarray(c1), c2=jnp.asarray(c2))
+        T = len(self.texmaps)
+        if T == 0:
+            tmap = TexMapTable(tex=jnp.zeros(1, I32),
+                               itm=jnp.eye(3, dtype=F32)[None],
+                               pos=jnp.zeros((1, 3), F32))
+        else:
+            tmap = TexMapTable(
+                tex=jnp.asarray(np.array([t for t, _ in self.texmaps], I32)),
+                itm=jnp.asarray(np.stack([tr.inv for _, tr in self.texmaps]).astype(F32)),
+                pos=jnp.asarray(np.stack([tr.pos for _, tr in self.texmaps]).astype(F32)),
+            )
+        return tex_table, tmap
+
+
+def camera_basis(cam) -> np.ndarray:
+    """Camera->world basis with columns (x_new, up, z_new): the matrix the
+    reference builds in RenderPixel (Final/main.cpp:219-224)."""
+    z_new = -np.asarray(cam.dir, np.float64)
+    x_new = np.cross(np.asarray(cam.up, np.float64), z_new)
+    z_new /= np.linalg.norm(z_new)
+    x_new /= np.linalg.norm(x_new)
+    up = np.asarray(cam.up, np.float64)
+    up = up / np.linalg.norm(up)
+    return np.stack([x_new, up, z_new], axis=1).astype(F32)
+
+
+def build_scene(desc: SceneDesc, bvh_leaf: int = 8) -> GpuScene:
+    b = _Builder(desc, bvh_leaf=bvh_leaf)
+    b.flatten()
+    materials = b.pack_materials()
+    bg_tm = b.add_texmap(desc.background)
+    env_tm = b.add_texmap(desc.environment)
+    textures, texmaps = b.pack_textures()
+    mesh = b.pack_meshes()
+    cam = desc.camera
+    return GpuScene(
+        spheres=b.pack_group("sphere"),
+        planes=b.pack_group("plane"),
+        mesh_inst=b.pack_group("mesh"),
+        mesh=mesh,
+        materials=materials,
+        lights=b.pack_lights(),
+        textures=textures,
+        texmaps=texmaps,
+        bg_color=jnp.asarray(np.asarray(desc.background.color, F32)),
+        env_color=jnp.asarray(np.asarray(desc.environment.color, F32)),
+        cam_pos=jnp.asarray(np.asarray(cam.pos, F32)),
+        cam_m=jnp.asarray(camera_basis(cam)),
+        bg_tm=bg_tm, env_tm=env_tm,
+        fov=float(cam.fov), focaldist=float(cam.focaldist), dof=float(cam.dof),
+        width=int(cam.width), height=int(cam.height),
+        num_spheres=len(b.groups["sphere"]),
+        num_planes=len(b.groups["plane"]),
+        num_mesh_inst=len(b.groups["mesh"]),
+        num_lights=len(desc.lights),
+        light_kinds=tuple(l.kind for l in desc.lights),
+        any_soft_light=any(l.kind == "point" and l.size > 0 for l in desc.lights),
+    )
