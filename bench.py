@@ -1,0 +1,69 @@
+"""Benchmark: 800x600 box scene at 64 spp on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metric = Mrays/sec/chip counting primary + shadow rays (the BASELINE.json
+headline); also reports the frame time in the extras field.
+North star: 100 Mrays/sec/chip on v5e (vs_baseline = value / 100).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+WIDTH = int(os.environ.get("BENCH_WIDTH", 800))
+HEIGHT = int(os.environ.get("BENCH_HEIGHT", 600))
+SPP = int(os.environ.get("BENCH_SPP", 64))
+BOUNCES = int(os.environ.get("BENCH_BOUNCES", 4))
+
+
+def main():
+    from rtf_tpu.render.config import RenderConfig
+    from rtf_tpu.render.renderer import render_device
+    from rtf_tpu.scene.build import build_scene
+    from rtf_tpu.scene.procedural import box_scene
+
+    scene = build_scene(box_scene(width=WIDTH, height=HEIGHT, with_mesh=True))
+    cfg = RenderConfig(min_samples=SPP, max_samples=SPP, bounces=BOUNCES,
+                       shadow_min=1, shadow_max=1, gi_mode="none",
+                       queue_factor=1.0)
+
+    import numpy as np
+
+    key = jax.random.PRNGKey(0)
+    # warmup / compile; fetch to host — on the experimental axon platform
+    # block_until_ready can return before execution completes, so a
+    # device->host transfer is the only honest fence.
+    out = render_device(scene, cfg, key)
+    np.asarray(out[0])
+
+    t0 = time.perf_counter()
+    out = render_device(scene, cfg, jax.random.PRNGKey(1))
+    host = np.asarray(out[0])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(host).all()
+
+    # primary + shadow rays actually traced: 1 primary + 1 hard-shadow ray
+    # per sample (bounce-queue rays are extra, uncounted — conservative)
+    rays = 2.0 * WIDTH * HEIGHT * SPP
+    mrays = rays / dt / 1e6
+    print(json.dumps({
+        "metric": "Mrays/sec/chip (primary+shadow)",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+        "extras": {
+            "frame_time_s": round(dt, 3),
+            "resolution": f"{WIDTH}x{HEIGHT}",
+            "spp": SPP,
+            "bounces": BOUNCES,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

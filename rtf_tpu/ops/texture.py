@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from rtf_tpu.core.math import mat3_apply_batched
+
 from rtf_tpu.scene.build import TEX_CHECKER, TEX_FILE
 
 
@@ -70,7 +72,7 @@ def sample_texmap(scene, tm_id: jnp.ndarray, uvw: jnp.ndarray) -> jnp.ndarray:
     safe = jnp.maximum(tm_id, 0)
     itm = scene.texmaps.itm[safe]
     pos = scene.texmaps.pos[safe]
-    u = jnp.einsum("nij,nj->ni", itm, uvw - pos)
+    u = mat3_apply_batched(itm, uvw - pos)
     col = sample_texture(scene, scene.texmaps.tex[safe], u)
     return jnp.where((tm_id >= 0)[..., None], col, jnp.ones_like(col))
 

@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from rtf_tpu.core.math import BIGFLOAT, dot, normalize
+from rtf_tpu.core.math import (
+    BIGFLOAT, dot, mat3_apply, mat3_apply_batched, normalize,
+)
 from rtf_tpu.ops.intersect import (
     intersect_box_enter, intersect_plane, intersect_sphere,
     intersect_triangle, plane_attributes, sphere_attributes,
@@ -58,8 +60,8 @@ def _empty_hit(n: int) -> Hit:
 
 def _to_local(itm, pos, o, d):
     """World ray -> instance local ray (ToNodeCoords, scene.h:502-508)."""
-    lo = jnp.einsum("ij,nj->ni", itm, o - pos)
-    ld = jnp.einsum("ij,nj->ni", itm, d)
+    lo = mat3_apply(itm, o - pos)
+    ld = mat3_apply(itm, d)
     return lo, ld
 
 
@@ -222,10 +224,10 @@ def resolve_surface(scene, o, d, hit: Hit) -> Surface:
         itm = group.itm[hit.inst]
         pos = group.pos[hit.inst]
         nrm = group.nrm[hit.inst]
-        lo = jnp.einsum("nij,nj->ni", itm, o - pos)
-        ld = jnp.einsum("nij,nj->ni", itm, d)
+        lo = mat3_apply_batched(itm, o - pos)
+        ld = mat3_apply_batched(itm, d)
         _, ln, luv = attr_fn(lo, ld, hit.t)
-        wn = normalize(jnp.einsum("nij,nj->ni", nrm, ln))
+        wn = normalize(mat3_apply_batched(nrm, ln))
         return wn, luv, group.mtl[hit.inst]
 
     if scene.num_spheres > 0:
@@ -253,7 +255,7 @@ def resolve_surface(scene, o, d, hit: Hit) -> Surface:
                + mesh.tri_tb[f] * hit.bb[:, None]
                + mesh.tri_tc[f] * bc[:, None])
         nrm = scene.mesh_inst.nrm[hit.inst]
-        wn = normalize(jnp.einsum("nij,nj->ni", nrm, ln))
+        wn = normalize(mat3_apply_batched(nrm, ln))
         mask = (hit.kind == KIND_MESH)[:, None]
         nrm_w = jnp.where(mask, wn, nrm_w)
         uvw = jnp.where(mask, luv, uvw)

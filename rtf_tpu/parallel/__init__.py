@@ -1,0 +1,1 @@
+from rtf_tpu.parallel.mesh import make_mesh, render_sharded  # noqa: F401

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rtf_tpu.core.halton import halton
-from rtf_tpu.core.math import normalize
+from rtf_tpu.core.math import mat3_apply, normalize
 
 
 def image_plane_params(scene):
@@ -52,11 +52,11 @@ def primary_rays(scene, px: jnp.ndarray, py: jnp.ndarray,
         ang = jax.random.uniform(k2, px.shape) * (2.0 * jnp.pi)
         lens_cam = jnp.stack(
             [r * jnp.cos(ang), r * jnp.sin(ang), jnp.zeros_like(r)], axis=-1)
-        d_campos = lens_cam @ scene.cam_m.T   # m @ lens  (world offset)
+        d_campos = mat3_apply(scene.cam_m, lens_cam)  # world offset
     else:
         d_campos = jnp.zeros_like(target_cam)
 
-    d_world = target_cam @ scene.cam_m.T - d_campos
+    d_world = mat3_apply(scene.cam_m, target_cam) - d_campos
     o = scene.cam_pos[None, :] + d_campos
     return o, normalize(d_world)
 
