@@ -40,8 +40,12 @@ def halton(index: jnp.ndarray, base: int, max_index: int = 1 << 16) -> jnp.ndarr
         r = r + f * (i % base).astype(jnp.float32)
         return (r, f * inv_base, i // base)
 
-    r0 = jnp.zeros(index.shape, jnp.float32)
-    r, _, _ = lax.fori_loop(0, ndig, body, (r0, jnp.float32(inv_base), index))
+    # derive the accumulator from `index` so it inherits index's
+    # varying-manual-axes under shard_map (a plain zeros() carry would be
+    # unvarying on input but varying on output -> scan type error)
+    r0 = (index * 0).astype(jnp.float32)
+    f0 = jnp.asarray(inv_base, jnp.float32)
+    r, _, _ = lax.fori_loop(0, ndig, body, (r0, f0, index))
     return r
 
 

@@ -24,10 +24,22 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import inspect
+
 try:
-    from jax import shard_map
+    from jax import shard_map as _shard_map
 except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+# the strict varying-manual-axes check rejects unvarying loop carries that
+# become varying (e.g. zero-initialized hit records fed by sharded rays);
+# our kernels are rank-polymorphic and correct under replication, so opt out
+if "check_vma" in inspect.signature(_shard_map).parameters:
+    def shard_map(f=None, **kw):
+        return _shard_map(f, check_vma=False, **kw)
+else:
+    def shard_map(f=None, **kw):
+        return _shard_map(f, **kw)
 from jax.sharding import Mesh, PartitionSpec as P
 
 from rtf_tpu.core.math import BIGFLOAT
@@ -69,7 +81,6 @@ def render_sharded(scene, cfg, mesh: Mesh, seed: int = 0):
         shard_map, mesh=mesh,
         in_specs=(P(), P("tile")),
         out_specs=(P("tile"), P("tile"), P("tile")),
-        check_rep=False,
     )
     def shard_fn(key, pix):
         spp_rank = jax.lax.axis_index("spp")
