@@ -41,6 +41,10 @@ class RenderConfig:
     knn_k: int = 400                # EstimateIrradiance<400> (main.cpp:699)
     knn_radius: float = 1.0
 
+    # environment sampled on reflection-ray miss too (Proj8-era Shade,
+    # RayTracingProj8 main.cpp:382-384); Final restricts it to refraction
+    env_on_reflect_miss: bool = False
+
     # ---- output
     gamma: float = 2.2              # 0/None disables (pre-proj11 projects)
     # thresholds (materials.h:20-25)
@@ -63,14 +67,17 @@ PROFILES = {
     # Proj4-6: + reflections/refractions (Whitted), still 1 spp
     "proj5": RenderConfig(min_samples=1, max_samples=1, bounces=5,
                           light_average=False, inverse_square=False,
-                          shadow_min=1, shadow_max=1, gamma=0.0),
+                          shadow_min=1, shadow_max=1, gamma=0.0,
+                          env_on_reflect_miss=True),
     # Proj8: adaptive AA 4..64
     "proj8": RenderConfig(min_samples=4, max_samples=64, bounces=5,
                           light_average=False, inverse_square=False,
-                          shadow_min=1, shadow_max=1, gamma=0.0),
+                          shadow_min=1, shadow_max=1, gamma=0.0,
+                          env_on_reflect_miss=True),
     # Proj10: soft shadows + glossy
     "proj10": RenderConfig(min_samples=4, max_samples=64, bounces=5,
-                           light_average=False, gamma=0.0),
+                           light_average=False, gamma=0.0,
+                           env_on_reflect_miss=True),
     # Proj11: MC GI (hemisphere at first hit), gamma 2.2
     "proj11": RenderConfig(min_samples=4, max_samples=16, bounces=4,
                            gi_mode="hemisphere", hemisphere_samples=20),

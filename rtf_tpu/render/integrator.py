@@ -38,6 +38,9 @@ from rtf_tpu.render.shade import (
 )
 
 
+RT_PRIMARY, RT_REFLECT, RT_REFRACT = 0, 1, 2
+
+
 @struct.dataclass
 class RayQueue:
     o: jnp.ndarray          # [C,3]
@@ -45,7 +48,7 @@ class RayQueue:
     tput: jnp.ndarray       # [C,3] accumulated throughput
     absorb: jnp.ndarray     # [C,3] spawning material's absorption
     pixel: jnp.ndarray      # [C] int32 framebuffer index
-    is_refract: jnp.ndarray  # [C] bool (env-on-miss only for these)
+    rtype: jnp.ndarray      # [C] int32 RT_* (controls env-on-miss)
     alive: jnp.ndarray      # [C] bool
 
     @property
@@ -57,7 +60,7 @@ def _empty_queue(c: int) -> RayQueue:
     z3 = jnp.zeros((c, 3), jnp.float32)
     return RayQueue(o=z3, d=z3.at[:, 2].set(1.0), tput=z3, absorb=z3,
                     pixel=jnp.zeros(c, jnp.int32),
-                    is_refract=jnp.zeros(c, bool),
+                    rtype=jnp.zeros(c, jnp.int32),
                     alive=jnp.zeros(c, bool))
 
 
@@ -68,7 +71,7 @@ def _compact(cand: RayQueue, capacity: int) -> RayQueue:
     take = lambda a: a[idx]
     return RayQueue(o=take(cand.o), d=take(cand.d), tput=take(cand.tput),
                     absorb=take(cand.absorb), pixel=take(cand.pixel),
-                    is_refract=take(cand.is_refract), alive=take(cand.alive))
+                    rtype=take(cand.rtype), alive=take(cand.alive))
 
 
 def _concat_queues(a: RayQueue, b: RayQueue) -> RayQueue:
@@ -76,7 +79,7 @@ def _concat_queues(a: RayQueue, b: RayQueue) -> RayQueue:
     return RayQueue(o=cat(a.o, b.o), d=cat(a.d, b.d), tput=cat(a.tput, b.tput),
                     absorb=cat(a.absorb, b.absorb),
                     pixel=cat(a.pixel, b.pixel),
-                    is_refract=cat(a.is_refract, b.is_refract),
+                    rtype=cat(a.rtype, b.rtype),
                     alive=cat(a.alive, b.alive))
 
 
@@ -91,9 +94,13 @@ class ShadeResult(NamedTuple):
     k_eff: jnp.ndarray       # [N,3] throughput after parent absorption
 
 
-def shade_lanes(scene, cfg, o, d, tput, absorb, pixel, alive, is_refract,
-                key) -> ShadeResult:
-    """Trace + locally shade one wavefront; return radiance & children."""
+def shade_lanes(scene, cfg, o, d, tput, absorb, pixel, alive, rtype,
+                key, gi_grid=None) -> ShadeResult:
+    """Trace + locally shade one wavefront; return radiance & children.
+
+    gi_grid: photon grid for deep-bounce indirect light — the reference
+    adds kd * EstimateIrradiance * max(0, N.(-meanDir)) at every Shade
+    call below the first bounce (main.cpp:694-705)."""
     hit = trace(scene, o, d)
     surf = resolve_surface(scene, o, d, hit)
     hit_mask = surf.valid & alive
@@ -105,13 +112,23 @@ def shade_lanes(scene, cfg, o, d, tput, absorb, pixel, alive, is_refract,
     mtl = sample_material(scene, surf.mtl, surf.uvw)
     view = -d  # d is normalized
     col = mtl.emission + direct_lighting(scene, cfg, surf, mtl, view, key)
+    if gi_grid is not None:
+        from rtf_tpu.gi.grid import estimate_irradiance
+        irrad, mean_dir = estimate_irradiance(
+            gi_grid, surf.p, surf.n, cfg.knn_radius, cfg.knn_k)
+        theta = jnp.maximum(0.0, -dot(surf.n, mean_dir))
+        col = col + mtl.kd * irrad * theta[:, None]
     radiance = jnp.where(hit_mask[:, None], k_eff * col, 0.0)
 
-    # environment on refraction-ray miss (main.cpp:634-636)
-    env_mask = alive & ~surf.valid & is_refract
-    if scene.env_tm >= 0 or True:
-        env = sample_environment(scene, d)
-        radiance = radiance + jnp.where(env_mask[:, None], tput * env, 0.0)
+    # environment on secondary-ray miss. Final: refraction only
+    # (main.cpp:634-636); Proj8-era integrators also give it to reflection
+    # misses (RayTracingProj8 main.cpp:382-384) -> cfg.env_on_reflect_miss.
+    env_ok = rtype == RT_REFRACT
+    if cfg.env_on_reflect_miss:
+        env_ok = env_ok | (rtype == RT_REFLECT)
+    env_mask = alive & ~surf.valid & env_ok
+    env = sample_environment(scene, d)
+    radiance = radiance + jnp.where(env_mask[:, None], tput * env, 0.0)
 
     # children
     fr = fresnel_split(cfg, surf, mtl, view)
@@ -121,11 +138,13 @@ def shade_lanes(scene, cfg, o, d, tput, absorb, pixel, alive, is_refract,
     refl = RayQueue(o=offset_origin(surf.p, surf.n, fr.r_dir),
                     d=fr.r_dir, tput=k_eff * fr.r_k,
                     absorb=mtl.absorption, pixel=pixel,
-                    is_refract=jnp.zeros_like(r_go), alive=r_go)
+                    rtype=jnp.full(pixel.shape, RT_REFLECT, jnp.int32),
+                    alive=r_go)
     refr = RayQueue(o=offset_origin(surf.p, surf.n, fr.t_dir),
                     d=fr.t_dir, tput=k_eff * fr.t_k,
                     absorb=mtl.absorption, pixel=pixel,
-                    is_refract=jnp.ones_like(t_go), alive=t_go)
+                    rtype=jnp.full(pixel.shape, RT_REFRACT, jnp.int32),
+                    alive=t_go)
     children = _concat_queues(refl, refr)
     return ShadeResult(radiance=radiance, children=children,
                        hit_mask=hit_mask, hit_t=surf.t,
@@ -144,7 +163,7 @@ class WaveOutput(NamedTuple):
 
 
 def render_wave(scene, cfg, o, d, pixel, sample_mask, key,
-                num_pixels: int) -> WaveOutput:
+                num_pixels: int, gi_grid=None) -> WaveOutput:
     """Render one wave of primary samples through the full bounce queue.
 
     `sample_mask` disables lanes (adaptive-AA wave 2 only touches
@@ -161,7 +180,7 @@ def render_wave(scene, cfg, o, d, pixel, sample_mask, key,
                       absorb=jnp.zeros((n, 3), jnp.float32),
                       pixel=pixel,
                       alive=sample_mask,
-                      is_refract=jnp.zeros(n, bool),
+                      rtype=jnp.full(n, RT_PRIMARY, jnp.int32),
                       key=k_prim)
     image = _splat(image, pixel, res.radiance, sample_mask)
     hit_count = jax.ops.segment_sum(
@@ -183,18 +202,20 @@ def render_wave(scene, cfg, o, d, pixel, sample_mask, key,
                                       jax.random.fold_in(k_gi, i))
             image, _ = _run_bounces(scene, cfg, chunk, image,
                                     jax.random.fold_in(k_loop, 1000 + i),
-                                    capacity)
+                                    capacity, gi_grid=gi_grid)
 
     q = _compact(res.children, capacity)
-    image, _ = _run_bounces(scene, cfg, q, image, k_loop, capacity)
+    image, _ = _run_bounces(scene, cfg, q, image, k_loop, capacity,
+                            gi_grid=gi_grid)
     return WaveOutput(radiance=image, hit_count=hit_count, z_min=z_min)
 
 
-def _run_bounces(scene, cfg, q: RayQueue, image, key, capacity):
+def _run_bounces(scene, cfg, q: RayQueue, image, key, capacity,
+                 gi_grid=None):
     for b in range(cfg.bounces):
         kb = jax.random.fold_in(key, b)
         res = shade_lanes(scene, cfg, q.o, q.d, q.tput, q.absorb, q.pixel,
-                          q.alive, q.is_refract, kb)
+                          q.alive, q.rtype, kb, gi_grid=gi_grid)
         image = image + jax.ops.segment_sum(
             res.radiance, q.pixel, num_segments=image.shape[0])
         if b + 1 < cfg.bounces:
@@ -233,5 +254,5 @@ def _hemisphere_chunk(scene, cfg, res: ShadeResult, pixel, key) -> RayQueue:
     return RayQueue(
         o=offset_origin(res.surf_p, res.surf_n, hdir), d=hdir, tput=tput,
         absorb=jnp.zeros((n, 3), jnp.float32), pixel=pixel,
-        is_refract=jnp.ones(n, bool),  # GI miss samples the environment
+        rtype=jnp.full(n, RT_REFRACT, jnp.int32),  # GI miss samples the env
         alive=alive)

@@ -37,7 +37,7 @@ class RenderResult(NamedTuple):
 
 
 def _wave_stats(scene, cfg, sample_lo: int, sample_hi: int, key,
-                mask_pixels):
+                mask_pixels, gi_grid=None):
     """Trace samples [sample_lo, sample_hi) for all pixels; returns summed
     radiance, summed squares (for variance), hit counts, z."""
     w, h = scene.width, scene.height
@@ -55,7 +55,7 @@ def _wave_stats(scene, cfg, sample_lo: int, sample_hi: int, key,
                             halton_bases=(cfg.halton_base_x, cfg.halton_base_y),
                             dof=scene.dof > 0)
         out = render_wave(scene, cfg, o, d, jnp.arange(num_px), mask_pixels,
-                          jax.random.fold_in(kj, 7), num_px)
+                          jax.random.fold_in(kj, 7), num_px, gi_grid=gi_grid)
         rad = rad + out.radiance
         rad2 = rad2 + out.radiance * out.radiance
         hits = hits + out.hit_count
@@ -72,7 +72,7 @@ def _wave_stats(scene, cfg, sample_lo: int, sample_hi: int, key,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def render_device(scene, cfg: RenderConfig, key) -> tuple:
+def render_device(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
     """Full adaptive render on device. Returns (radiance[P,3], hits[P],
     z[P], samples[P])."""
     w, h = scene.width, scene.height
@@ -80,7 +80,8 @@ def render_device(scene, cfg: RenderConfig, key) -> tuple:
     all_px = jnp.ones((num_px,), bool)
 
     k1, k2 = jax.random.split(key)
-    rad, rad2, hits, z = _wave_stats(scene, cfg, 0, cfg.min_samples, k1, all_px)
+    rad, rad2, hits, z = _wave_stats(scene, cfg, 0, cfg.min_samples, k1,
+                                     all_px, gi_grid=gi_grid)
     nsamples = jnp.full((num_px,), cfg.min_samples, jnp.int32)
 
     if cfg.max_samples > cfg.min_samples:
@@ -91,7 +92,8 @@ def render_device(scene, cfg: RenderConfig, key) -> tuple:
         var = rad2 / cnt - mean * mean
         need = (jnp.max(var, axis=-1) > cfg.variance_threshold) & (hits > 0)
         rad_b, _, hits_b, z_b = _wave_stats(
-            scene, cfg, cfg.min_samples, cfg.max_samples, k2, need)
+            scene, cfg, cfg.min_samples, cfg.max_samples, k2, need,
+            gi_grid=gi_grid)
         rad = rad + rad_b
         hits = hits + hits_b
         z = jnp.minimum(z, z_b)
@@ -133,8 +135,27 @@ def finalize(scene, cfg: RenderConfig, rad, hits, z, nsamples) -> RenderResult:
     )
 
 
-def render(scene, cfg: RenderConfig = RenderConfig(), seed: int = None) -> RenderResult:
-    """Host-facing entry: render a built GpuScene with a config."""
+def render(scene, cfg: RenderConfig = RenderConfig(), seed: int = None,
+           gi_grid=None) -> RenderResult:
+    """Host-facing entry: render a built GpuScene with a config.
+
+    For cfg.gi_mode == 'photon', pass the photon grid (built once by
+    rtf_tpu.gi — the analogue of generatePhotonMap before BeginRender's
+    thread launch, main.cpp:990)."""
     key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
-    rad, hits, z, ns = render_device(scene, cfg, key)
+    if cfg.gi_mode == "photon" and gi_grid is None:
+        gi_grid = prepare_photon_grid(scene, cfg, key)
+    rad, hits, z, ns = render_device(scene, cfg, key, gi_grid=gi_grid)
     return finalize(scene, cfg, rad, hits, z, ns)
+
+
+def prepare_photon_grid(scene, cfg: RenderConfig, key):
+    """Photon pass: shoot + grid build (generatePhotonMap,
+    main.cpp:350-437)."""
+    from rtf_tpu.gi.grid import build_photon_grid
+    from rtf_tpu.gi.photon import shoot_photons
+    pm = shoot_photons(scene, cfg, n_emit=cfg.photon_count,
+                       capacity=cfg.photon_count,
+                       key=jax.random.fold_in(key, 999))
+    return build_photon_grid(pm, cfg.knn_radius,
+                             scene.world_min, scene.world_max)

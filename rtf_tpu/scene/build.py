@@ -145,6 +145,10 @@ class GpuScene:
     light_kinds: tuple = struct.field(pytree_node=False, default=())
     # static: True when any point light has size > 0 (soft shadows)
     any_soft_light: bool = struct.field(pytree_node=False, default=False)
+    # static world-space AABB of all geometry (photon-grid binning,
+    # equivalent of rootNode.ComputeChildBoundBox, scene.h:476-489)
+    world_min: tuple = struct.field(pytree_node=False, default=(-1.0,) * 3)
+    world_max: tuple = struct.field(pytree_node=False, default=(1.0,) * 3)
 
 
 # --------------------------------------------------------------------------
@@ -161,6 +165,8 @@ class _Builder:
         self.tex_index = {}
         self.groups = {"sphere": [], "plane": [], "mesh": []}
         self.meshes: List[dict] = []
+        self.wmin = np.full(3, np.inf)
+        self.wmax = np.full(3, -np.inf)
 
     # ---- materials / textures
 
@@ -216,11 +222,26 @@ class _Builder:
                 if node.obj_kind == "mesh":
                     entry["mesh_slot"] = self.add_mesh(node, mtl_id)
                 self.groups[node.obj_kind].append(entry)
+                self._grow_bounds(node, world_t)
             for child in node.children:
                 walk(child, world_t)
 
         for child in self.desc.root.children:
             walk(child, self.desc.root.transform)
+
+    def _grow_bounds(self, node: NodeDesc, world_t: Transform):
+        if node.obj_kind == "sphere":
+            lo, hi = np.full(3, -1.0), np.full(3, 1.0)
+        elif node.obj_kind == "plane":
+            lo, hi = np.array([-1.0, -1.0, 0.0]), np.array([1.0, 1.0, 0.0])
+        else:
+            lo = node.mesh.v.min(axis=0)
+            hi = node.mesh.v.max(axis=0)
+        for i in range(8):
+            c = np.where([(i >> b) & 1 for b in range(3)], hi, lo)
+            w = world_t.transform_from(c)
+            self.wmin = np.minimum(self.wmin, w)
+            self.wmax = np.maximum(self.wmax, w)
 
     def add_mesh(self, node: NodeDesc, inst_mtl_id: int) -> int:
         mesh: MeshDesc = node.mesh
@@ -440,6 +461,8 @@ def build_scene(desc: SceneDesc, bvh_leaf: int = 8) -> GpuScene:
         num_planes=len(b.groups["plane"]),
         num_mesh_inst=len(b.groups["mesh"]),
         num_lights=len(desc.lights),
+        world_min=tuple(float(x) for x in (b.wmin if np.isfinite(b.wmin).all() else np.full(3, -1.0))),
+        world_max=tuple(float(x) for x in (b.wmax if np.isfinite(b.wmax).all() else np.full(3, 1.0))),
         light_kinds=tuple(l.kind for l in desc.lights),
         any_soft_light=any(l.kind == "point" and l.size > 0 for l in desc.lights),
     )

@@ -1,0 +1,118 @@
+"""Photon map tests: deterministic-seed statistics (SURVEY.md §4 (d)),
+grid gather vs brute-force kNN-area estimate, .dat roundtrip."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rtf_tpu.gi.grid import build_photon_grid, estimate_irradiance
+from rtf_tpu.gi.io import load_photon_dat, save_photon_dat, PHOTON_DTYPE
+from rtf_tpu.gi.photon import PhotonMapData, shoot_photons
+from rtf_tpu.render.config import RenderConfig
+from rtf_tpu.scene.build import build_scene
+from rtf_tpu.scene.procedural import box_scene
+
+CFG = RenderConfig(photon_bounces=4)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return build_scene(box_scene(64, 48, with_mesh=False))
+
+
+@pytest.fixture(scope="module")
+def photons(scene):
+    return shoot_photons(scene, CFG, n_emit=4096, capacity=8192,
+                         key=jax.random.PRNGKey(0))
+
+
+def test_photons_land_on_geometry(scene, photons):
+    n = int(photons.count)
+    assert n > 500   # a good fraction of 4096 photons stored
+    pos = np.asarray(photons.pos)[:n]
+    lo = np.asarray(scene.world_min) - 1e-2
+    hi = np.asarray(scene.world_max) + 1e-2
+    assert ((pos >= lo) & (pos <= hi)).all()
+    # stored photons must sit ON a surface: box walls at x=+-15, y=20,
+    # z in {0, 24} (floor plane at z=0), or the spheres
+    on_wall = (np.isclose(np.abs(pos[:, 0]), 15, atol=1e-2)
+               | np.isclose(pos[:, 1], 20, atol=1e-2)
+               | np.isclose(pos[:, 2], 0, atol=1e-2)
+               | np.isclose(pos[:, 2], 24, atol=1e-2))
+    # walls are the only diffuse surfaces in this scene -> all stores there
+    assert on_wall.mean() > 0.99
+    # power scaled by 4pi/N: all finite positive
+    pw = np.asarray(photons.power)[:n]
+    assert np.isfinite(pw).all() and (pw >= 0).all()
+
+
+def test_photon_shoot_deterministic(scene):
+    a = shoot_photons(scene, CFG, 512, 1024, jax.random.PRNGKey(7))
+    b = shoot_photons(scene, CFG, 512, 1024, jax.random.PRNGKey(7))
+    assert int(a.count) == int(b.count)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+
+
+def test_grid_estimate_matches_bruteforce(scene, photons):
+    grid = build_photon_grid(photons, cell_size=2.0,
+                             bounds_min=scene.world_min,
+                             bounds_max=scene.world_max)
+    # query on the floor near the center
+    q = jnp.asarray(np.array([[0.0, 0.0, 0.01], [5.0, 5.0, 0.01]], np.float32))
+    nrm = jnp.asarray(np.array([[0, 0, 1], [0, 0, 1]], np.float32))
+    irrad, mdir = estimate_irradiance(grid, q, nrm, radius=2.0, k=10 ** 9)
+    # brute force with the same (radius-capped, k=inf) estimator
+    n = int(photons.count)
+    pos = np.asarray(photons.pos)[:n]
+    pw = np.asarray(photons.power)[:n]
+    dirs = np.asarray(photons.dir)[:n]
+    for qi in range(2):
+        d2 = ((pos - np.asarray(q)[qi]) ** 2).sum(1)
+        sel = (d2 < 4.0) & (dirs @ np.asarray(nrm)[qi] < 0)
+        want = pw[sel].sum(0) / (np.pi * 4.0)
+        np.testing.assert_allclose(np.asarray(irrad)[qi], want, rtol=2e-3,
+                                   atol=1e-5)
+
+
+def test_knn_radius_shrink(scene, photons):
+    """With a small k the estimate must use a smaller effective area ->
+    larger or equal density than the capped-radius estimate."""
+    grid = build_photon_grid(photons, cell_size=2.0,
+                             bounds_min=scene.world_min,
+                             bounds_max=scene.world_max)
+    q = jnp.asarray(np.array([[0.0, 0.0, 0.01]], np.float32))
+    nrm = jnp.asarray(np.array([[0, 0, 1]], np.float32))
+    irr_inf, _ = estimate_irradiance(grid, q, nrm, radius=2.0, k=10 ** 9)
+    irr_k, _ = estimate_irradiance(grid, q, nrm, radius=2.0, k=5)
+    assert np.asarray(irr_k).sum() >= np.asarray(irr_inf).sum() * 0.5
+
+
+def test_dat_roundtrip(tmp_path, photons):
+    n = int(photons.count)
+    path = str(tmp_path / "pm.dat")
+    save_photon_dat(path, np.asarray(photons.pos), np.asarray(photons.dir),
+                    np.asarray(photons.power), n)
+    assert PHOTON_DTYPE.itemsize == 24   # byte-parity with cyPhotonMap
+    pos, dirs, power = load_photon_dat(path)
+    assert len(pos) == n
+    np.testing.assert_allclose(pos, np.asarray(photons.pos)[:n], atol=1e-6)
+    # x/y quantized to 1/32767; z is RECONSTRUCTED as sqrt(1-x^2-y^2) (the
+    # reference format stores only its sign), so z error blows up for
+    # near-horizontal directions — same loss as cyPhotonMap.h:147-178
+    d0 = np.asarray(photons.dir)[:n]
+    np.testing.assert_allclose(dirs[:, :2], d0[:, :2], atol=2e-4)
+    np.testing.assert_allclose(dirs[:, 2], d0[:, 2], atol=0.06)
+    np.testing.assert_allclose(power, np.asarray(photons.power)[:n],
+                               rtol=2e-2, atol=1e-4)
+
+
+def test_reference_caustic_dat_loads():
+    import os
+    path = "/root/reference/PhotonMap/PhotonMap/causticmap.dat"
+    if not os.path.exists(path):
+        pytest.skip("no reference dat")
+    pos, dirs, power = load_photon_dat(path)
+    assert len(pos) > 1000
+    assert np.isfinite(pos).all()
+    lens = np.linalg.norm(dirs, axis=1)
+    assert (np.abs(lens - 1) < 0.05).mean() > 0.95

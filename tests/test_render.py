@@ -86,3 +86,27 @@ def test_multichip_dryrun_matches_singlechip():
     assert rad.shape == (64 * 48, 3)
     assert np.isfinite(rad).all()
     assert (np.asarray(hits) >= 1).all()   # closed box: everything hits
+
+
+def test_render_gi_hemisphere_adds_bounce_light(small_scene):
+    """Indirect light must brighten the scene vs direct-only."""
+    base = render(small_scene, FAST)
+    gi = render(small_scene, FAST.with_(gi_mode="hemisphere",
+                                        hemisphere_samples=4))
+    assert gi.radiance.mean() > base.radiance.mean() * 1.02
+    # color bleeding: wall colors leak onto the white floor near them
+    assert np.isfinite(gi.radiance).all()
+
+
+def test_render_photon_mode_smoke(small_scene):
+    import jax
+    from rtf_tpu.render.renderer import prepare_photon_grid
+    cfg = FAST.with_(gi_mode="photon", hemisphere_samples=2,
+                     photon_count=4096, photon_bounces=3,
+                     knn_radius=2.0, knn_k=50)
+    grid = prepare_photon_grid(small_scene, cfg, jax.random.PRNGKey(0))
+    assert int(grid.n_valid) > 200
+    res = render(small_scene, cfg, gi_grid=grid)
+    assert np.isfinite(res.radiance).all()
+    base = render(small_scene, FAST)
+    assert res.radiance.mean() > base.radiance.mean()
