@@ -1,0 +1,186 @@
+"""Command-line renderer.
+
+Supersedes the reference's hardcoded scene path + GLUT keybindings
+(main(), Final/main.cpp:1015-1024; SPACE-to-render, viewport.cpp:414-480)
+with a real CLI:
+
+    python -m rtf_tpu.cli render scene.xml --profile final --out out.png
+    python -m rtf_tpu.cli photons scene.xml --count 1000000 --out pm.dat
+    python -m rtf_tpu.cli viz pm.dat --out cloud.png
+
+`render` writes the beauty image plus the reference's diagnostic AOVs
+(z-buffer and sample-count images, RenderImage::ComputeZBufferImage /
+ComputeSampleCountImage, scene.h:591-637) and prints the wall-clock
+"Render time" like the viewport did (viewport.cpp:398-404).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _load(scene_path: str, width, height):
+    from rtf_tpu.scene import build_scene, load_scene
+    desc = load_scene(scene_path)
+    if width:
+        desc.camera.width = width
+    if height:
+        desc.camera.height = height
+    return build_scene(desc)
+
+
+def cmd_render(args):
+    import jax
+    from rtf_tpu.render.config import PROFILES
+    from rtf_tpu.render.renderer import prepare_photon_grid, render
+    from rtf_tpu.utils.image import sample_count_image, zbuffer_image
+    from rtf_tpu.utils.png import write_png
+
+    cfg = PROFILES[args.profile]
+    if args.spp:
+        cfg = cfg.with_(min_samples=args.spp, max_samples=args.spp)
+    if args.bounces is not None:
+        cfg = cfg.with_(bounces=args.bounces)
+
+    t0 = time.time()
+    scene = _load(args.scene, args.width, args.height)
+    print(f"scene loaded in {time.time() - t0:.1f}s: "
+          f"{scene.num_spheres} spheres, {scene.num_planes} planes, "
+          f"{scene.num_mesh_inst} mesh instances, {scene.num_lights} lights")
+
+    grid = None
+    if cfg.gi_mode == "photon":
+        t0 = time.time()
+        grid = prepare_photon_grid(scene, cfg, jax.random.PRNGKey(args.seed))
+        print(f"photon pass: {int(grid.n_valid)} photons "
+              f"in {time.time() - t0:.1f}s")
+        if args.photon_dump:
+            import numpy as np
+            from rtf_tpu.gi.io import save_photon_dat
+            save_photon_dat(args.photon_dump, np.asarray(grid.pos),
+                            np.asarray(grid.dir), np.asarray(grid.power),
+                            int(grid.n_valid))
+            print(f"photon map dumped to {args.photon_dump}")
+
+    t0 = time.time()
+    res = render(scene, cfg, seed=args.seed, gi_grid=grid)
+    dt = int(time.time() - t0)
+    print("Render time is %d:%02d:%02d" % (dt // 3600, dt // 60 % 60, dt % 60))
+
+    write_png(args.out, res.image)
+    print(f"wrote {args.out}")
+    if args.zbuffer:
+        write_png(args.zbuffer, zbuffer_image(res.z))
+        print(f"wrote {args.zbuffer}")
+    if args.samplecount:
+        write_png(args.samplecount, sample_count_image(res.sample_count))
+        print(f"wrote {args.samplecount}")
+    return 0
+
+
+def cmd_photons(args):
+    import jax
+    import numpy as np
+    from rtf_tpu.gi.io import save_photon_dat
+    from rtf_tpu.gi.photon import shoot_photons
+    from rtf_tpu.render.config import PROFILES
+
+    cfg = PROFILES[args.profile].with_(photon_count=args.count)
+    scene = _load(args.scene, None, None)
+    t0 = time.time()
+    pm = shoot_photons(scene, cfg, n_emit=args.count, capacity=args.count,
+                       key=jax.random.PRNGKey(args.seed),
+                       caustic_only=args.caustic)
+    n = int(pm.count)
+    print(f"stored {n} photons in {time.time() - t0:.1f}s")
+    save_photon_dat(args.out, np.asarray(pm.pos), np.asarray(pm.dir),
+                    np.asarray(pm.power), n)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_viz(args):
+    """Photon point-cloud viewer (PhotonMapViz parity,
+    PhotonMap/PhotonMap/PhotonMapViz.cpp:157-227) — renders the .dat dump
+    as a splatted point cloud instead of a GLUT window."""
+    import numpy as np
+    from rtf_tpu.gi.io import load_photon_dat
+    from rtf_tpu.utils.png import write_png
+
+    pos, dirs, power = load_photon_dat(args.dat)
+    print(f"{len(pos)} photons loaded from {args.dat}")
+    w, h = args.width, args.height
+    lo = pos.min(axis=0)
+    hi = pos.max(axis=0)
+    center = (lo + hi) / 2
+    ext = float(np.max(hi - lo)) or 1.0
+
+    # simple turntable camera looking at the cloud center
+    ang = np.deg2rad(args.angle)
+    cam = center + ext * np.array([np.sin(ang), -np.cos(ang), 0.3])
+    fwd = center - cam
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, [0, 0, 1.0])
+    right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+
+    rel = pos - cam
+    z = rel @ fwd
+    x = rel @ right
+    y = rel @ up
+    keep = z > 1e-3
+    px = (x[keep] / z[keep] * w * 0.9 + w / 2).astype(int)
+    py = (-y[keep] / z[keep] * w * 0.9 + h / 2).astype(int)
+    c = np.clip(power[keep] / np.percentile(power[keep].max(1), 90), 0, 1)
+    inside = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    img = np.zeros((h, w, 3), np.float32)
+    order = np.argsort(-z[keep][inside])   # far first (near overwrites)
+    xi, yi, ci = px[inside][order], py[inside][order], c[inside][order]
+    img[yi, xi] = ci
+    write_png(args.out, (img * 255).astype(np.uint8))
+    print(f"wrote {args.out}")
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="rtf_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a scene XML")
+    r.add_argument("scene")
+    r.add_argument("--profile", default="final", help="proj3|proj5|proj8|proj10|proj11|proj12|final|photon")
+    r.add_argument("--out", default="out.png")
+    r.add_argument("--zbuffer", help="write z-buffer AOV PNG")
+    r.add_argument("--samplecount", help="write sample-count AOV PNG")
+    r.add_argument("--photon-dump", help="write the photon map .dat")
+    r.add_argument("--spp", type=int, help="force fixed samples/pixel")
+    r.add_argument("--bounces", type=int)
+    r.add_argument("--width", type=int)
+    r.add_argument("--height", type=int)
+    r.add_argument("--seed", type=int, default=0)
+    r.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("photons", help="shoot a photon map to .dat")
+    p.add_argument("scene")
+    p.add_argument("--count", type=int, default=1_000_000)
+    p.add_argument("--out", default="photonmap.dat")
+    p.add_argument("--caustic", action="store_true")
+    p.add_argument("--profile", default="photon")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_photons)
+
+    v = sub.add_parser("viz", help="render a photon .dat as a point cloud")
+    v.add_argument("dat")
+    v.add_argument("--out", default="photons.png")
+    v.add_argument("--width", type=int, default=800)
+    v.add_argument("--height", type=int, default=600)
+    v.add_argument("--angle", type=float, default=0.0)
+    v.set_defaults(fn=cmd_viz)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
