@@ -31,10 +31,20 @@ class BvhArrays(NamedTuple):
 
 
 def build_bvh(centers: np.ndarray, boxes_min: np.ndarray, boxes_max: np.ndarray,
-              max_elems: int = 8) -> BvhArrays:
+              max_elems: int = 8, use_native: bool = True) -> BvhArrays:
     """Build over element bounds; `centers` are the split keys
-    (GetElementCenter)."""
+    (GetElementCenter).  Uses the C++ builder (rtf_tpu/native) when
+    available; the NumPy path below is the reference implementation."""
     n = len(centers)
+    if use_native and n > 0:
+        try:
+            from rtf_tpu.native.binding import native_build_bvh
+            out = native_build_bvh(centers, boxes_min, boxes_max, max_elems)
+        except Exception:
+            out = None
+        if out is not None:
+            nm, nx, child, eoff, ecnt, elems = out
+            return BvhArrays(nm, nx, child, eoff, ecnt, elems)
     elems = np.arange(n, dtype=np.int32)
     if n == 0:
         z3 = np.zeros((2, 3), np.float32)

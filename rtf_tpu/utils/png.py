@@ -84,6 +84,14 @@ def read_png(path: str) -> np.ndarray:
     stride = w * bpp
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
     raw = raw.reshape(h, stride + 1)
+    try:
+        from rtf_tpu.native.binding import native_png_unfilter
+        native = native_png_unfilter(raw, h, stride, bpp)
+    except Exception:
+        native = None
+    if native is not None:
+        out = native
+        return _expand(out, h, w, nchan, depth, ctype, palette, trns)
     filters = raw[:, 0]
     lines = raw[:, 1:]
     out = np.zeros((h, stride), np.uint8)
@@ -118,6 +126,10 @@ def read_png(path: str) -> np.ndarray:
                     row[x] = (int(cur[x]) + pred) & 0xFF
         else:
             raise ValueError(f"bad filter {f}")
+    return _expand(out, h, w, nchan, depth, ctype, palette, trns)
+
+
+def _expand(out, h, w, nchan, depth, ctype, palette, trns):
     if depth == 16:
         out = out.reshape(h, w, nchan, 2)[..., 0]  # keep high byte
     else:
@@ -126,7 +138,6 @@ def read_png(path: str) -> np.ndarray:
         idx = out[:, :, 0]
         rgb = palette[idx]
         if trns is not None:
-            a = np.full(idx.shape, 255, np.uint8)
             lim = min(len(trns), 256)
             lut = np.full(256, 255, np.uint8)
             lut[:lim] = trns[:lim]
