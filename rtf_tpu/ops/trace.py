@@ -1,13 +1,21 @@
 """Wavefront scene tracing: closest-hit over all instance groups.
 
 Replaces the reference's recursive TraceNode walk + virtual
-Object::IntersectRay dispatch (Final/main.cpp:94-130) with:
+Object::IntersectRay dispatch (Final/main.cpp:94-130) with dense batched
+intersection — the shape that actually feeds a TPU's vector/matrix units:
 
-* a `lax.scan` over sphere / plane instance arrays (each step intersects
-  the ENTIRE wavefront against one instance — long VPU lanes, no
-  per-ray branching), and
-* a batched stack-based BVH traversal for every mesh instance where all
-  rays advance in lock step under one `lax.while_loop`.
+* spheres/planes: one broadcast intersection of the whole wavefront
+  against ALL instances at once ([N rays, I instances] lanes), min-t
+  reduction over instances;
+* meshes: tiled dense ray x triangle intersection — a `lax.scan` over
+  fixed-size face tiles, each step testing every ray against a [T]-face
+  tile fully vectorized ([N, T] VPU lanes, argmin-t per tile).  At the
+  reference's mesh sizes (320-9.5k faces) this outruns any divergent
+  per-ray BVH walk on TPU by orders of magnitude: no gathers, no
+  variable-trip while_loops, no per-ray stacks in HBM.
+* the classic lock-step BVH traversal (per-ray VMEM stacks under one
+  `lax.while_loop`) is kept as `bvh_traverse` for very large meshes and
+  is selectable via `RenderConfig.mesh_algo`.
 
 Hit attributes (position/normal/uvw/material) are reconstructed once at
 the end for the winning primitive only — the traversal carries just
@@ -17,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from rtf_tpu.core.math import (
@@ -66,26 +75,84 @@ def _to_local(itm, pos, o, d):
 
 
 def _scan_group(group, o, d, hit: Hit, kind_code: int, intersect_fn) -> Hit:
+    """Intersect the wavefront against every instance of a group AT ONCE:
+    [N rays, I instances] broadcast, then a min-t reduction over I."""
     k = group.itm.shape[0]
     if k == 0:
         return hit
 
-    def body(carry, xs):
-        t, kd, inst, front = carry
-        itm, pos, idx = xs
-        lo, ld = _to_local(itm, pos, o, d)
-        tt, fr, valid = intersect_fn(lo, ld, t)
-        upd = valid
-        t = jnp.where(upd, tt, t)
-        kd = jnp.where(upd, kind_code, kd)
-        inst = jnp.where(upd, idx, inst)
-        front = jnp.where(upd, fr, front)
-        return (t, kd, inst, front), None
+    # local rays for all instances: [N, I, 3]
+    rel = o[:, None, :] - group.pos[None, :, :]
+    lo = jnp.einsum('kij,nkj->nki', group.itm, rel)
+    ld = jnp.einsum('kij,nj->nki', group.itm, d)
+    tt, fr, valid = intersect_fn(lo, ld, hit.t[:, None])
 
-    xs = (group.itm, group.pos, jnp.arange(k, dtype=jnp.int32))
-    (t, kd, inst, front), _ = jax.lax.scan(
-        body, (hit.t, hit.kind, hit.inst, hit.front), xs)
-    return hit.replace(t=t, kind=kd, inst=inst, front=front)
+    tt = jnp.where(valid, tt, BIGFLOAT)
+    j = jnp.argmin(tt, axis=1)
+    rows = jnp.arange(tt.shape[0])
+    t_min = tt[rows, j]
+    upd = t_min < hit.t
+    return hit.replace(
+        t=jnp.where(upd, t_min, hit.t),
+        kind=jnp.where(upd, kind_code, hit.kind),
+        inst=jnp.where(upd, j.astype(jnp.int32), hit.inst),
+        front=jnp.where(upd, fr[rows, j], hit.front))
+
+
+def _dense_mesh(mesh, o, d, t_init, face_init, front_init, ba_init, bb_init,
+                face_range: tuple, tile: int = 512):
+    """Dense tiled mesh intersection, rays already in instance-local space.
+
+    Scans over fixed-size face tiles; each step intersects every ray with
+    every face of the tile ([N, T] lanes — pure VPU work, no gathers) and
+    keeps the per-ray argmin-t.  `face_base`..`face_base+F` is this mesh's
+    slice of the arena; padding faces are degenerate (total area 0) and
+    never validate.
+    """
+    f0, f1 = face_range[0], face_range[1]
+    a_all = mesh.tri_a[f0:f1]
+    b_all = mesh.tri_b[f0:f1]
+    c_all = mesh.tri_c[f0:f1]
+    nf = a_all.shape[0]
+    t = max(8, min(tile, nf))
+    pad = (-nf) % t
+    if pad:
+        z = jnp.zeros((pad, 3), a_all.dtype)
+        a_all = jnp.concatenate([a_all, z])
+        b_all = jnp.concatenate([b_all, z])
+        c_all = jnp.concatenate([c_all, z])
+    ntiles = a_all.shape[0] // t
+    a_t = a_all.reshape(ntiles, t, 3)
+    b_t = b_all.reshape(ntiles, t, 3)
+    c_t = c_all.reshape(ntiles, t, 3)
+
+    o_b = o[:, None, :]
+    d_b = d[:, None, :]
+    rows = jnp.arange(o.shape[0])
+
+    def body(carry, xs):
+        t_best, face, front, ba, bb = carry
+        at, bt, ct, tix = xs
+        tt, fr, tba, tbb, valid = intersect_triangle(
+            o_b, d_b, at[None], bt[None], ct[None], t_best[:, None])
+        tt = jnp.where(valid, tt, BIGFLOAT)
+        j = jnp.argmin(tt, axis=1)
+        t_min = tt[rows, j]
+        upd = t_min < t_best
+        t_best = jnp.where(upd, t_min, t_best)
+        face = jnp.where(upd, f0 + tix * t + j.astype(jnp.int32), face)
+        front = jnp.where(upd, fr[rows, j], front)
+        ba = jnp.where(upd, tba[rows, j], ba)
+        bb = jnp.where(upd, tbb[rows, j], bb)
+        return (t_best, face, front, ba, bb), None
+
+    xs = (a_t, b_t, c_t, jnp.arange(ntiles, dtype=jnp.int32))
+    carry = (t_init, face_init, front_init, ba_init, bb_init)
+    if ntiles == 1:
+        carry, _ = body(carry, jax.tree.map(lambda x: x[0], xs))
+    else:
+        carry, _ = jax.lax.scan(body, carry, xs)
+    return carry
 
 
 def bvh_traverse(mesh, root, o, d, t_init, face_init, front_init,
@@ -177,14 +244,22 @@ def trace(scene, o: jnp.ndarray, d: jnp.ndarray) -> Hit:
     hit = _scan_group(scene.planes, o, d, hit, KIND_PLANE, intersect_plane)
 
     if scene.mesh is not None and scene.num_mesh_inst > 0:
+        use_bvh = getattr(scene, "mesh_algo", "dense") == "bvh"
+        slots = scene.mesh_inst_slots
         for i in range(scene.num_mesh_inst):
             itm = scene.mesh_inst.itm[i]
             pos = scene.mesh_inst.pos[i]
-            root = scene.mesh.slot_root[scene.mesh_inst.mesh_slot[i]]
             lo, ld = _to_local(itm, pos, o, d)
-            t, face, front, ba, bb = bvh_traverse(
-                scene.mesh, root, lo, ld,
-                hit.t, hit.face, hit.front, hit.ba, hit.bb)
+            if use_bvh:
+                root = scene.mesh.slot_root[scene.mesh_inst.mesh_slot[i]]
+                t, face, front, ba, bb = bvh_traverse(
+                    scene.mesh, root, lo, ld,
+                    hit.t, hit.face, hit.front, hit.ba, hit.bb)
+            else:
+                t, face, front, ba, bb = _dense_mesh(
+                    scene.mesh, lo, ld,
+                    hit.t, hit.face, hit.front, hit.ba, hit.bb,
+                    scene.mesh.slot_faces[int(slots[i])])
             upd = t < hit.t
             hit = hit.replace(
                 t=jnp.where(upd, t, hit.t),

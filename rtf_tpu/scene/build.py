@@ -68,6 +68,9 @@ class MeshArena:
     slot_root: jnp.ndarray  # [S] int32 root node id per mesh slot
     max_leaf: int = struct.field(pytree_node=False, default=8)
     max_depth: int = struct.field(pytree_node=False, default=32)
+    # static per-slot (face_start, face_end) arena ranges for the dense
+    # tiled intersection path
+    slot_faces: tuple = struct.field(pytree_node=False, default=())
 
 
 @struct.dataclass
@@ -149,6 +152,11 @@ class GpuScene:
     # equivalent of rootNode.ComputeChildBoundBox, scene.h:476-489)
     world_min: tuple = struct.field(pytree_node=False, default=(-1.0,) * 3)
     world_max: tuple = struct.field(pytree_node=False, default=(1.0,) * 3)
+    # mesh intersection algorithm: 'dense' (tiled ray x tri, TPU-native)
+    # or 'bvh' (lock-step stack traversal, for very large meshes)
+    mesh_algo: str = struct.field(pytree_node=False, default="dense")
+    # static instance -> mesh-slot mapping (dense path indexes slot_faces)
+    mesh_inst_slots: tuple = struct.field(pytree_node=False, default=())
 
 
 # --------------------------------------------------------------------------
@@ -281,6 +289,7 @@ class _Builder:
         tri_mtl = []
         b_min, b_max, b_child, b_eoff, b_ecnt, b_elems = [], [], [], [], [], []
         roots = []
+        slot_faces = []
         face_base = 0
         node_base = 0
         elem_base = 0
@@ -315,6 +324,7 @@ class _Builder:
             b_ecnt.append(bvh.elem_cnt)
             b_elems.append(bvh.elems + face_base)
             roots.append(node_base + 1)
+            slot_faces.append((face_base, face_base + len(f)))
             face_base += len(f)
             node_base += len(bvh.bmin)
             elem_base += len(bvh.elems)
@@ -332,6 +342,7 @@ class _Builder:
             bvh_ecnt=cat(b_ecnt, I32), bvh_elems=cat(b_elems, I32),
             slot_root=jnp.asarray(np.array(roots, I32)),
             max_leaf=self.bvh_leaf,
+            slot_faces=tuple(slot_faces),
         )
 
     def pack_materials(self) -> MaterialTable:
@@ -465,4 +476,5 @@ def build_scene(desc: SceneDesc, bvh_leaf: int = 8) -> GpuScene:
         world_max=tuple(float(x) for x in (b.wmax if np.isfinite(b.wmax).all() else np.full(3, 1.0))),
         light_kinds=tuple(l.kind for l in desc.lights),
         any_soft_light=any(l.kind == "point" and l.size > 0 for l in desc.lights),
+        mesh_inst_slots=tuple(int(e["mesh_slot"]) for e in b.groups["mesh"]),
     )
