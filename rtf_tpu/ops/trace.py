@@ -244,17 +244,43 @@ def trace(scene, o: jnp.ndarray, d: jnp.ndarray) -> Hit:
     hit = _scan_group(scene.planes, o, d, hit, KIND_PLANE, intersect_plane)
 
     if scene.mesh is not None and scene.num_mesh_inst > 0:
-        use_bvh = getattr(scene, "mesh_algo", "dense") == "bvh"
+        algo = getattr(scene, "mesh_algo", "auto")
+        if algo == "auto":
+            algo = "pallas" if jax.default_backend() == "tpu" else "dense"
         slots = scene.mesh_inst_slots
         for i in range(scene.num_mesh_inst):
             itm = scene.mesh_inst.itm[i]
             pos = scene.mesh_inst.pos[i]
             lo, ld = _to_local(itm, pos, o, d)
-            if use_bvh:
+            if algo == "bvh":
                 root = scene.mesh.slot_root[scene.mesh_inst.mesh_slot[i]]
                 t, face, front, ba, bb = bvh_traverse(
                     scene.mesh, root, lo, ld,
                     hit.t, hit.face, hit.front, hit.ba, hit.bb)
+            elif algo in ("pallas", "pallas_interpret"):
+                from rtf_tpu.ops.pallas_mesh import (
+                    mesh_closest_hit, pack_rays)
+                slot = int(slots[i])
+                col0, fpad, ar0, nt, (mlo, mhi) = scene.mesh.slot_pack[slot]
+                tris = jax.lax.slice_in_dim(scene.mesh.tri_packed,
+                                            col0, col0 + fpad, axis=1)
+                aabb = jax.lax.slice_in_dim(scene.mesh.tile_aabb,
+                                            ar0, ar0 + nt, axis=0)
+                rays8, npad = pack_rays(lo, ld, hit.t)
+                tp, face_p, fr_p, ba_p, bb_p = mesh_closest_hit(
+                    rays8, tris, aabb, face0=col0,
+                    mesh_lo=mlo, mesh_hi=mhi,
+                    interpret=(algo == "pallas_interpret"))
+                nr = lo.shape[0]
+                got = face_p[:nr] >= 0
+                # packed (Morton) id -> arena face id
+                face_a = scene.mesh.tri_perm[
+                    jnp.clip(face_p[:nr], 0, scene.mesh.tri_perm.shape[0] - 1)]
+                t = jnp.where(got, tp[:nr], BIGFLOAT)
+                face = jnp.where(got, face_a, hit.face)
+                front = jnp.where(got, fr_p[:nr] > 0.5, hit.front)
+                ba = jnp.where(got, ba_p[:nr], hit.ba)
+                bb = jnp.where(got, bb_p[:nr], hit.bb)
             else:
                 t, face, front, ba, bb = _dense_mesh(
                     scene.mesh, lo, ld,

@@ -66,3 +66,21 @@ def pixel_grid(width: int, height: int):
     main.cpp:71-78: x = i % W, y = i / W)."""
     idx = jnp.arange(width * height, dtype=jnp.int32)
     return idx % width, idx // width
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def pixel_order(width: int, height: int, tw: int = 32, th: int = 16):
+    """Tile-coherent pixel permutation: flat pixel ids ordered so that
+    consecutive lanes form tw x th screen tiles (ragged edges fold into
+    their tile row).  Wavefront blocks of 512 lanes then subtend a small
+    solid angle, which is what makes the Pallas kernel's per-block AABB
+    culling effective.  Returns an int32 [P] numpy array; lane k handles
+    pixel id order[k]."""
+    idx = np.arange(width * height, dtype=np.int32)
+    px = idx % width
+    py = idx // width
+    order = np.lexsort((px % tw, py % th, px // tw, py // th))
+    return order.astype(np.int32)

@@ -24,7 +24,7 @@ import numpy as np
 
 from rtf_tpu.core.math import BIGFLOAT
 from rtf_tpu.ops.texture import sample_background
-from rtf_tpu.render.camera import pixel_grid, primary_rays
+from rtf_tpu.render.camera import pixel_grid, pixel_order, primary_rays
 from rtf_tpu.render.config import RenderConfig
 from rtf_tpu.render.integrator import render_wave
 
@@ -42,7 +42,12 @@ def _wave_stats(scene, cfg, sample_lo: int, sample_hi: int, key,
     radiance, summed squares (for variance), hit counts, z."""
     w, h = scene.width, scene.height
     num_px = w * h
-    px, py = pixel_grid(w, h)
+    # tile-coherent lane order (see camera.pixel_order): lane k renders
+    # pixel id order[k]; outputs are splatted back to pixel-id space
+    order = jnp.asarray(pixel_order(w, h))
+    px = order % w
+    py = order // w
+    mask_lanes = mask_pixels[order]
     nspp = sample_hi - sample_lo
 
     # one sub-wave per sample index (lax.scan: compiled once, constant
@@ -54,7 +59,7 @@ def _wave_stats(scene, cfg, sample_lo: int, sample_hi: int, key,
         o, d = primary_rays(scene, px, py, jnp.full_like(px, j), key=kj,
                             halton_bases=(cfg.halton_base_x, cfg.halton_base_y),
                             dof=scene.dof > 0)
-        out = render_wave(scene, cfg, o, d, jnp.arange(num_px), mask_pixels,
+        out = render_wave(scene, cfg, o, d, order, mask_lanes,
                           jax.random.fold_in(kj, 7), num_px, gi_grid=gi_grid)
         rad = rad + out.radiance
         rad2 = rad2 + out.radiance * out.radiance

@@ -71,6 +71,15 @@ class MeshArena:
     # static per-slot (face_start, face_end) arena ranges for the dense
     # tiled intersection path
     slot_faces: tuple = struct.field(pytree_node=False, default=())
+    # packed triangle table for the Pallas kernel (ops/pallas_mesh.py):
+    # per-slot [16, F_pad] blocks concatenated along columns
+    tri_packed: Optional[jnp.ndarray] = None
+    # packed (Morton) face id -> arena face id
+    tri_perm: Optional[jnp.ndarray] = None
+    # per-tile culling AABBs, [sum nt, 8]
+    tile_aabb: Optional[jnp.ndarray] = None
+    # static per-slot (col0, fpad, aabb_row0, nt, (mesh_lo, mesh_hi))
+    slot_pack: tuple = struct.field(pytree_node=False, default=())
 
 
 @struct.dataclass
@@ -152,9 +161,10 @@ class GpuScene:
     # equivalent of rootNode.ComputeChildBoundBox, scene.h:476-489)
     world_min: tuple = struct.field(pytree_node=False, default=(-1.0,) * 3)
     world_max: tuple = struct.field(pytree_node=False, default=(1.0,) * 3)
-    # mesh intersection algorithm: 'dense' (tiled ray x tri, TPU-native)
-    # or 'bvh' (lock-step stack traversal, for very large meshes)
-    mesh_algo: str = struct.field(pytree_node=False, default="dense")
+    # mesh intersection algorithm: 'auto' (Pallas kernel on TPU, dense
+    # tiled jnp elsewhere), 'pallas', 'pallas_interpret', 'dense', or
+    # 'bvh' (lock-step stack traversal, for very large meshes)
+    mesh_algo: str = struct.field(pytree_node=False, default="auto")
     # static instance -> mesh-slot mapping (dense path indexes slot_faces)
     mesh_inst_slots: tuple = struct.field(pytree_node=False, default=())
 
@@ -332,6 +342,21 @@ class _Builder:
         def cat(parts, dtype=F32):
             return jnp.asarray(np.concatenate(parts).astype(dtype))
 
+        from rtf_tpu.ops.pallas_mesh import pack_triangles
+        packed_parts, perm_parts, aabb_parts = [], [], []
+        slot_pack = []
+        col0 = 0
+        arow0 = 0
+        for fb, (a, b, c) in zip(
+                (r[0] for r in slot_faces), zip(tri["a"], tri["b"], tri["c"])):
+            p, perm, aabb, mb = pack_triangles(a, b, c)   # [16, F_pad]
+            packed_parts.append(p)
+            perm_parts.append(perm + fb)   # packed id -> arena face id
+            aabb_parts.append(aabb)
+            slot_pack.append((col0, p.shape[1], arow0, aabb.shape[0], mb))
+            col0 += p.shape[1]
+            arow0 += aabb.shape[0]
+
         return MeshArena(
             tri_a=cat(tri["a"]), tri_b=cat(tri["b"]), tri_c=cat(tri["c"]),
             tri_na=cat(tri["na"]), tri_nb=cat(tri["nb"]), tri_nc=cat(tri["nc"]),
@@ -343,6 +368,10 @@ class _Builder:
             slot_root=jnp.asarray(np.array(roots, I32)),
             max_leaf=self.bvh_leaf,
             slot_faces=tuple(slot_faces),
+            tri_packed=jnp.asarray(np.concatenate(packed_parts, axis=1)),
+            tri_perm=jnp.asarray(np.concatenate(perm_parts)),
+            tile_aabb=jnp.asarray(np.concatenate(aabb_parts, axis=0)),
+            slot_pack=tuple(slot_pack),
         )
 
     def pack_materials(self) -> MaterialTable:

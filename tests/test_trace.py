@@ -106,3 +106,34 @@ def test_trace_sphere_inside_back_hit():
     assert bool(hit.is_hit[0])
     assert not bool(hit.front[0])
     np.testing.assert_allclose(float(hit.t[0]), 4.0, rtol=1e-4)
+
+
+def test_pallas_mesh_matches_dense():
+    """Pallas closest-hit kernel (interpret mode) == dense jnp path on
+    random rays against the box-scene teapot mesh."""
+    import dataclasses
+    from rtf_tpu.ops.trace import trace
+    scene_d = build_scene(box_scene(64, 48, with_mesh=True))
+    scene_d = dataclasses.replace(scene_d, mesh_algo="dense")
+    scene_p = dataclasses.replace(scene_d, mesh_algo="pallas_interpret")
+
+    rng = np.random.default_rng(7)
+    n = 257  # deliberately not a multiple of the ray block
+    # rays aimed from random points toward the mesh region
+    o = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    o[:, 2] = rng.uniform(0, 20, n)
+    target = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    d = target - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = jnp.asarray(o)
+    d = jnp.asarray(d)
+
+    hd = trace(scene_d, o, d)
+    hp = trace(scene_p, o, d)
+    np.testing.assert_array_equal(np.asarray(hd.kind), np.asarray(hp.kind))
+    np.testing.assert_allclose(np.asarray(hd.t), np.asarray(hp.t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(hd.face), np.asarray(hp.face))
+    np.testing.assert_allclose(np.asarray(hd.ba), np.asarray(hp.ba),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(hd.front), np.asarray(hp.front))
