@@ -147,11 +147,12 @@ def pack_triangles(a: np.ndarray, b: np.ndarray, c: np.ndarray):
     return out, perm, aabb, mesh_bounds
 
 
-def _mesh_kernel(rays_ref, tris_ref, aabb_ref, out_ref, *, ntiles: int,
-                 face0: int, mesh_lo: tuple, mesh_hi: tuple):
+def _mesh_kernel(rays_ref, tris_ref, aabb_ref, out_ref, flags_ref, st_ref,
+                 *, ntiles: int, face0: int, mesh_lo: tuple, mesh_hi: tuple):
     # rays_ref [RAY_BLOCK, 8]: cols ox oy oz dx dy dz t_init pad
     # tris_ref [16, F_pad]; aabb_ref [nt, 8] SMEM tile boxes;
     # out_ref [RAY_BLOCK, 8]: t face front ba bb . . .
+    # flags_ref SMEM [nt] per-tile overlap; st_ref VMEM [5, 8, 128] state
     shape = (RAY_SUB, TRI_LANES)
     col = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
 
@@ -164,13 +165,47 @@ def _mesh_kernel(rays_ref, tris_ref, aabb_ref, out_ref, *, ntiles: int,
     dlo = [jnp.min(rays_ref[:, 3 + k:4 + k]) for k in range(3)]
     dhi = [jnp.max(rays_ref[:, 3 + k:4 + k]) for k in range(3)]
     t_cap = jnp.max(rays_ref[:, 6:7])          # largest t_init in block
-    big_t = sum(
+    big_dist = sum(
         jnp.maximum(jnp.abs(mesh_hi[k] - olo[k]), jnp.abs(ohi[k] - mesh_lo[k]))
         for k in range(3))
-    reach = jnp.minimum(big_t, t_cap)
+    # distance -> t units: t = dist / |d|, and |d| >= Linf(d); use the
+    # block-min Linf as the conservative divisor (local-space rays from
+    # scaled instances have |d| != 1)
+    linf = jnp.maximum(jnp.maximum(jnp.abs(rays_ref[:, 3:4]),
+                                   jnp.abs(rays_ref[:, 4:5])),
+                       jnp.abs(rays_ref[:, 5:6]))
+    dmin = jnp.maximum(jnp.min(linf), 1e-20)
+    reach = jnp.minimum(big_dist / dmin, t_cap)
     rlo = [olo[k] + reach * jnp.minimum(dlo[k], 0.0) for k in range(3)]
     rhi = [ohi[k] + reach * jnp.maximum(dhi[k], 0.0) for k in range(3)]
 
+    # per-tile overlap flags, once per block (pl.when lowers to a real
+    # branch — lax.cond would evaluate both sides)
+    def flag_tile(j, acc):
+        ov = ((rhi[0] >= aabb_ref[j, 0]) & (rlo[0] <= aabb_ref[j, 3])
+              & (rhi[1] >= aabb_ref[j, 1]) & (rlo[1] <= aabb_ref[j, 4])
+              & (rhi[2] >= aabb_ref[j, 2]) & (rlo[2] <= aabb_ref[j, 5]))
+        ovi = ov.astype(jnp.int32)
+        flags_ref[j] = ovi
+        return acc | ovi
+
+    any_ov = jax.lax.fori_loop(0, ntiles, flag_tile, jnp.int32(0))
+
+    @pl.when(any_ov == 0)
+    def _miss_block():
+        t_init_col = rays_ref[:, 6:7]                       # [512, 1]
+        z = jnp.zeros_like(t_init_col)
+        out_ref[:, :] = jnp.concatenate(
+            [t_init_col, z - 1.0, z, z, z, z, z, z], axis=1)
+
+    @pl.when(any_ov != 0)
+    def _hit_block():
+        _block_body(rays_ref, tris_ref, out_ref, flags_ref, st_ref,
+                    ntiles=ntiles, face0=face0, shape=shape, col=col)
+
+
+def _block_body(rays_ref, tris_ref, out_ref, flags_ref, st_ref, *,
+                ntiles, face0, shape, col):
     def subtile(k, _):
         rays = rays_ref[pl.ds(k * RAY_SUB, RAY_SUB), :]      # [8, 8]
 
@@ -181,16 +216,21 @@ def _mesh_kernel(rays_ref, tris_ref, aabb_ref, out_ref, *, ntiles: int,
         dx, dy, dz = bc(3), bc(4), bc(5)
         t_init = bc(6)
 
-        def tri_tile(j, state):
-            overlap = ((rhi[0] >= aabb_ref[j, 0]) & (rlo[0] <= aabb_ref[j, 3])
-                       & (rhi[1] >= aabb_ref[j, 1]) & (rlo[1] <= aabb_ref[j, 4])
-                       & (rhi[2] >= aabb_ref[j, 2]) & (rlo[2] <= aabb_ref[j, 5]))
-            return jax.lax.cond(overlap,
-                                lambda s: tri_tile_body(j, s),
-                                lambda s: s, state)
+        # running state in VMEM scratch so tri_tile can be a real branch
+        st_ref[0] = t_init
+        st_ref[1] = jnp.full(shape, -1.0, jnp.float32)   # face
+        st_ref[2] = jnp.zeros(shape, jnp.float32)        # front
+        st_ref[3] = jnp.zeros(shape, jnp.float32)        # ba
+        st_ref[4] = jnp.zeros(shape, jnp.float32)        # bb
 
-        def tri_tile_body(j, state):
-            t_best, face, front, ba, bb = state
+        def tri_tile(j, acc):
+            @pl.when(flags_ref[j] != 0)
+            def _():
+                tri_tile_body(j)
+            return acc
+
+        def tri_tile_body(j):
+            t_best = st_ref[0]
             tri = tris_ref[:, pl.ds(j * TRI_LANES, TRI_LANES)]  # [16, 128]
             nx, ny, nz = tri[0:1, :], tri[1:2, :], tri[2:3, :]
             na = tri[3:4, :]
@@ -215,18 +255,16 @@ def _mesh_kernel(rays_ref, tris_ref, aabb_ref, out_ref, *, ntiles: int,
             valid &= (ba_t >= 0.0) & (bb_t >= 0.0) & (bc_t >= 0.0)
 
             fid = jnp.float32(face0 + j * TRI_LANES) + col
-            t_best = jnp.where(valid, t, t_best)
-            face = jnp.where(valid, fid, face)
-            front = jnp.where(valid, jnp.where(dn <= 0.0, 1.0, 0.0), front)
-            ba = jnp.where(valid, ba_t, ba)
-            bb = jnp.where(valid, bb_t, bb)
-            return (t_best, face, front, ba, bb)
+            st_ref[0] = jnp.where(valid, t, t_best)
+            st_ref[1] = jnp.where(valid, fid, st_ref[1])
+            st_ref[2] = jnp.where(
+                valid, jnp.where(dn <= 0.0, 1.0, 0.0), st_ref[2])
+            st_ref[3] = jnp.where(valid, ba_t, st_ref[3])
+            st_ref[4] = jnp.where(valid, bb_t, st_ref[4])
 
-        init = (t_init, jnp.full(shape, -1.0, jnp.float32),
-                jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
-                jnp.zeros(shape, jnp.float32))
-        t_best, face, front, ba, bb = jax.lax.fori_loop(
-            0, ntiles, tri_tile, init)
+        jax.lax.fori_loop(0, ntiles, tri_tile, 0)
+        t_best, face = st_ref[0], st_ref[1]
+        front, ba, bb = st_ref[2], st_ref[3], st_ref[4]
 
         # collapse lanes: min-t, lowest face id among exact ties
         t_min = jnp.min(t_best, axis=1, keepdims=True)       # [8, 1]
@@ -283,6 +321,10 @@ def mesh_closest_hit(rays8: jnp.ndarray, tris: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((RAY_BLOCK, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((ntiles,), jnp.int32),
+            pltpu.VMEM((5, RAY_SUB, TRI_LANES), jnp.float32),
+        ],
         interpret=interpret,
     )(rays8, tris, aabb)
     return (out[:, 0], out[:, 1].astype(jnp.int32), out[:, 2],

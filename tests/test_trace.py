@@ -1,4 +1,5 @@
 """Tracing tests: BVH vs brute force property test, scene closest-hit."""
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -137,3 +138,25 @@ def test_pallas_mesh_matches_dense():
     np.testing.assert_allclose(np.asarray(hd.ba), np.asarray(hp.ba),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(hd.front), np.asarray(hp.front))
+
+
+def test_pallas_mesh_culling_coherent_rays():
+    """Coherent (camera) ray blocks exercise the kernel's per-tile AABB
+    culling; results must still match the dense path exactly."""
+    import dataclasses
+    from rtf_tpu.ops.trace import trace
+    from rtf_tpu.render.camera import pixel_order, primary_rays
+    scene_d = build_scene(box_scene(128, 96, with_mesh=True))
+    scene_d = dataclasses.replace(scene_d, mesh_algo="dense")
+    scene_p = dataclasses.replace(scene_d, mesh_algo="pallas_interpret")
+    order = jnp.asarray(pixel_order(128, 96))
+    px, py = order % 128, order // 128
+    o, d = primary_rays(scene_d, px, py, jnp.zeros_like(px),
+                        key=jax.random.PRNGKey(0))
+    hd = trace(scene_d, o, d)
+    hp = trace(scene_p, o, d)
+    assert int(np.asarray(hd.kind == 3).sum()) > 100  # mesh visibly hit
+    np.testing.assert_array_equal(np.asarray(hd.kind), np.asarray(hp.kind))
+    np.testing.assert_allclose(np.asarray(hd.t), np.asarray(hp.t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(hd.face), np.asarray(hp.face))
