@@ -22,7 +22,7 @@ BOUNCES = int(os.environ.get("BENCH_BOUNCES", 4))
 
 def main():
     from rtf_tpu.render.config import RenderConfig
-    from rtf_tpu.render.renderer import render_device
+    from rtf_tpu.render.renderer import render_device_host
     from rtf_tpu.scene.build import build_scene
     from rtf_tpu.scene.procedural import box_scene
 
@@ -37,11 +37,11 @@ def main():
     # warmup / compile; fetch to host — on the experimental axon platform
     # block_until_ready can return before execution completes, so a
     # device->host transfer is the only honest fence.
-    out = render_device(scene, cfg, key)
+    out = render_device_host(scene, cfg, key)
     np.asarray(out[0])
 
     t0 = time.perf_counter()
-    out = render_device(scene, cfg, jax.random.PRNGKey(1))
+    out = render_device_host(scene, cfg, jax.random.PRNGKey(1))
     host = np.asarray(out[0])
     dt = time.perf_counter() - t0
     assert np.isfinite(host).all()

@@ -61,20 +61,30 @@ def _morton3(x: np.ndarray) -> np.ndarray:
         | spread(q[:, 2])
 
 
-def pack_triangles(a: np.ndarray, b: np.ndarray, c: np.ndarray):
+def pack_triangles(a: np.ndarray, b: np.ndarray, c: np.ndarray,
+                   na: np.ndarray = None, nb: np.ndarray = None,
+                   nc: np.ndarray = None, ta: np.ndarray = None,
+                   tb: np.ndarray = None, tc: np.ndarray = None,
+                   mtl: np.ndarray = None):
     """Host-side packed triangle table.
 
     Faces are Morton-sorted by centroid so each 128-face lane tile is
     spatially coherent, enabling per-tile AABB culling in the kernel.
 
-    Returns (table [16, F_pad] f32, perm [F_pad] int32 packed->original
+    Returns (table [32, F_pad] f32, perm [F_pad] int32 packed->original
     face id (padding cols repeat the last id), tile_aabb [nt, 8] f32
     rows (xlo ylo zlo xhi yhi zhi 0 0), mesh_bounds (lo3, hi3) floats).
+
+    Rows 0-11: intersection constants (see module docstring).
+    Rows 12-20: vertex normals a/b/c (when `na..nc` given).
+    Rows 21-29: vertex uvw a/b/c (when `ta..tc` given).
+    Row 30: per-face material id (when `mtl` given).
+    Rows 32-37: per-face AABB lo/hi (culling).
     """
     f = len(a)
     fp = max(TRI_LANES, ((f + TRI_LANES - 1) // TRI_LANES) * TRI_LANES)
     nt = fp // TRI_LANES
-    out = np.zeros((16, fp), np.float32)
+    out = np.zeros((40, fp), np.float32)
     perm = np.zeros(fp, np.int32)
     aabb = np.zeros((nt, 8), np.float32)
     if f == 0:
@@ -144,6 +154,15 @@ def pack_triangles(a: np.ndarray, b: np.ndarray, c: np.ndarray):
     degen = (ln[:, 0] == 0) | (total == 0)
     for r in range(12):
         out[r, :f] = np.where(degen, 0.0, out[r, :f])
+    # shading attributes (Morton order), for in-kernel surface resolve
+    for base, arr in ((12, na), (15, nb), (18, nc),
+                      (21, ta), (24, tb), (27, tc)):
+        if arr is not None:
+            out[base:base + 3, :f] = np.asarray(arr, np.float32)[order].T
+    if mtl is not None:
+        out[30, :f] = np.asarray(mtl, np.float32)[order]
+    out[32:35, :f] = tri_lo[:f].T
+    out[35:38, :f] = tri_hi[:f].T
     return out, perm, aabb, mesh_bounds
 
 
@@ -314,7 +333,7 @@ def mesh_closest_hit(rays8: jnp.ndarray, tris: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((RAY_BLOCK, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, fpad), lambda i: (0, 0),
+            pl.BlockSpec((tris.shape[0], fpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ntiles, 8), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),

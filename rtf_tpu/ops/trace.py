@@ -81,10 +81,13 @@ def _scan_group(group, o, d, hit: Hit, kind_code: int, intersect_fn) -> Hit:
     if k == 0:
         return hit
 
-    # local rays for all instances: [N, I, 3]
+    # local rays for all instances: [N, I, 3].  Explicit mul+sum, NOT
+    # einsum: XLA routes tiny einsums to the MXU in bf16 (see
+    # core.math.mat3_apply) which costs ~3 decimal digits of transform
+    # precision.
     rel = o[:, None, :] - group.pos[None, :, :]
-    lo = jnp.einsum('kij,nkj->nki', group.itm, rel)
-    ld = jnp.einsum('kij,nj->nki', group.itm, d)
+    lo = (group.itm[None] * rel[:, :, None, :]).sum(-1)
+    ld = (group.itm[None] * d[:, None, None, :]).sum(-1)
     tt, fr, valid = intersect_fn(lo, ld, hit.t[:, None])
 
     tt = jnp.where(valid, tt, BIGFLOAT)
@@ -315,7 +318,11 @@ def resolve_surface(scene, o, d, hit: Hit) -> Surface:
     """Reconstruct p/N/uvw/material for the winning primitive
     (FromNodeCoords + per-object attribute code, scene.h:509-513)."""
     n_rays = o.shape[0]
-    p_world = o + hit.t[..., None] * d
+    # missed lanes get a far sentinel position: downstream shadow/GI rays
+    # from dead lanes then live in blocks whose reach box misses every
+    # mesh tile, so the Pallas kernel's block culling skips them
+    p_world = jnp.where(hit.is_hit[:, None],
+                        o + hit.t[..., None] * d, 1.0e7)
 
     nrm_w = jnp.zeros((n_rays, 3), o.dtype)
     uvw = jnp.full((n_rays, 3), 0.5, o.dtype)
@@ -348,19 +355,21 @@ def resolve_surface(scene, o, d, hit: Hit) -> Surface:
     if scene.mesh is not None and scene.num_mesh_inst > 0:
         mesh = scene.mesh
         f = hit.face
-        bc = 1.0 - hit.ba - hit.bb
-        ln = (mesh.tri_na[f] * hit.ba[:, None]
-              + mesh.tri_nb[f] * hit.bb[:, None]
-              + mesh.tri_nc[f] * bc[:, None])
-        luv = (mesh.tri_ta[f] * hit.ba[:, None]
-               + mesh.tri_tb[f] * hit.bb[:, None]
-               + mesh.tri_tc[f] * bc[:, None])
+        ba = hit.ba[:, None]
+        bb = hit.bb[:, None]
+        bc = 1.0 - ba - bb
+        # single wide gathers instead of 7 narrow ones (attr packing)
+        an = mesh.attr_n[f]                       # [N,16]
+        at = mesh.attr_t[f]
+        ln = an[:, 0:3] * ba + an[:, 3:6] * bb + an[:, 6:9] * bc
+        luv = at[:, 0:3] * ba + at[:, 3:6] * bb + at[:, 6:9] * bc
         nrm = scene.mesh_inst.nrm[hit.inst]
         wn = normalize(mat3_apply_batched(nrm, ln))
         mask = (hit.kind == KIND_MESH)[:, None]
         nrm_w = jnp.where(mask, wn, nrm_w)
         uvw = jnp.where(mask, luv, uvw)
-        mtl = jnp.where(hit.kind == KIND_MESH, mesh.tri_mtl[f], mtl)
+        mtl = jnp.where(hit.kind == KIND_MESH,
+                        an[:, 9].astype(jnp.int32), mtl)
 
     return Surface(p=p_world, n=nrm_w, uvw=uvw, mtl=mtl,
                    front=hit.front, t=hit.t, valid=hit.is_hit)

@@ -84,3 +84,9 @@ def pixel_order(width: int, height: int, tw: int = 32, th: int = 16):
     py = idx // width
     order = np.lexsort((px % tw, py % th, px // tw, py // th))
     return order.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=32)
+def pixel_order_inv(width: int, height: int, tw: int = 32, th: int = 16):
+    """Inverse of pixel_order: inv[pixel_id] = lane index."""
+    return np.argsort(pixel_order(width, height, tw, th)).astype(np.int32)

@@ -53,7 +53,19 @@ class RenderConfig:
 
     # ---- wavefront engine
     queue_factor: float = 1.0       # secondary-queue capacity / primary rays
+    # Fresnel split handling: 'both' follows reflection AND refraction like
+    # the reference recursion (top-k compacted queues, exact); 'rr' keeps
+    # each lane following ONE Russian-roulette-chosen child with unbiased
+    # reweighting — lane==pixel stays a static permutation, so the whole
+    # wave runs scatter-free (the TPU-native choice for MC configs).
+    # 'auto' = 'rr' when min_samples >= 8 else 'both'.
+    split_mode: str = "auto"
     seed: int = 0
+
+    def resolved_split_mode(self) -> str:
+        if self.split_mode == "auto":
+            return "rr" if self.min_samples >= 8 else "both"
+        return self.split_mode
 
     def with_(self, **kw) -> "RenderConfig":
         return replace(self, **kw)

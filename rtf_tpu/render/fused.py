@@ -1,0 +1,738 @@
+"""Fused wave kernel (Pallas TPU): one kernel launch per bounce.
+
+The XLA wavefront path (integrator.py) runs ~300 HLO ops per bounce over
+HBM arrays; on this TPU backend that is dispatch/layout-bound.  This
+module runs the ENTIRE bounce — mesh closest-hit, sphere/plane
+intersection, surface resolve, material lookup, Blinn direct lighting,
+shadow visibility (mesh + primitives), Fresnel split and the
+Russian-roulette continuation — inside a single Pallas kernel per
+bounce.  HBM traffic per bounce is exactly: ray queue in, contribution +
+next queue out.  There are no gathers, no scatters, no transposes and no
+vector->scalar stalls in the hot loop.
+
+The design is shaped by three measured properties of the target:
+* arrays whose last dimension is < 128 lanes move ~10x slower — so every
+  buffer is [nblk, A, 8, 128] with rays packed by plain reshape (lane
+  r = blk*1024 + s*128 + l);
+* lane-broadcasts of per-triangle values are expensive, scalar constants
+  are free — so the WHOLE SCENE (instance transforms, materials, lights,
+  and the triangles themselves) is baked into the kernel as immediates:
+  each triangle becomes ~24 floats of precomputed intersection constants
+  (plane eq + affine barycentric coefficients + interpolated-normal rows
+  + AABB, from ops/pallas_mesh.pack_triangles) applied to all 1024 rays
+  of a block at once;
+* `pl.when` on a traced scalar is a real branch — per-block reach boxes
+  (built from 12 whole-block reductions) cull triangle TILES, then
+  individual TRIANGLES, so blocks that miss the mesh pay ~40 scalar ops
+  total and fully-dead blocks skip everything.
+
+Coverage (gated by `fusable()`): untextured materials, ambient/direct/
+point lights (hard shadows, <=2 shadow casters), solid background/env,
+gi_mode none, 'rr' split, total mesh arena <= 512 faces (immediates).
+Everything else falls back to the XLA path.
+
+Reference semantics preserved: MtlBlinn::Shade direct+Fresnel structure
+(Final/main.cpp:516-638), GenLight::Shadow bias/t_max (main.cpp:499-513),
+Beer absorption on back-face segments (materials.h:60-66).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rtf_tpu.ops.pallas_mesh import TRI_LANES, ZERO, DZ_EPS
+
+BIG = 1.0e30
+SENTINEL = 1.0e7      # dead-lane origin: far from everything -> culled
+BLOCK = 1024          # rays per program: one [8, 128] register set
+SUB = 8
+MAX_FACES = 512       # immediate-triangle budget per scene
+
+# rays_sh attribute rows
+R_O, R_D, R_TPUT, R_ABS, R_ALIVE, R_RTYPE = 0, 3, 6, 9, 12, 13
+RT_PRIMARY, RT_REFLECT, RT_REFRACT = 0, 1, 2
+
+
+class Frozen:
+    """Hashable wrapper so the baked scene constants can ride through
+    jax.jit as a static argument."""
+
+    def __init__(self, obj):
+        self.obj = obj
+        self._key = repr(obj)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, Frozen) and self._key == other._key
+
+
+# ---------------------------------------------------------------------------
+# host-side scene constant extraction
+
+
+def scene_consts(scene):
+    """Python-float scene tables for kernel baking.  Triangles come from
+    the Morton-packed table (intersection constants precomputed) grouped
+    into 128-face tiles with tile AABBs for two-level culling."""
+    def mat3(x):
+        return tuple(tuple(float(v) for v in row) for row in np.asarray(x))
+
+    def vec(x):
+        return tuple(float(v) for v in np.asarray(x))
+
+    def group(g, n):
+        return [dict(itm=mat3(g.itm[i]), pos=vec(g.pos[i]),
+                     nrm=mat3(g.nrm[i]), mtl=int(g.mtl[i]))
+                for i in range(n)]
+
+    mt = scene.materials
+    mats = [dict(kd=vec(mt.diffuse[i]), ks=vec(mt.specular[i]),
+                 gloss=float(mt.glossiness[i]),
+                 refl=vec(mt.reflection[i]), refr=vec(mt.refraction[i]),
+                 ior=float(mt.ior[i]), absorb=vec(mt.absorption[i]),
+                 emis=vec(mt.emission[i]))
+            for i in range(mt.diffuse.shape[0])]
+
+    lights = []
+    for i, kind in enumerate(scene.light_kinds):
+        lights.append(dict(
+            kind=kind, intensity=vec(scene.lights.intensity[i]),
+            direction=vec(scene.lights.direction[i]),
+            position=vec(scene.lights.position[i]),
+            size=float(scene.lights.size[i])))
+
+    mesh_insts = []
+    if scene.mesh is not None:
+        table = np.asarray(scene.mesh.tri_packed)
+        for i in range(scene.num_mesh_inst):
+            slot = scene.mesh_inst_slots[i]
+            col0, fpad, ar0, nt, (mlo, mhi) = scene.mesh.slot_pack[slot]
+            aabb = np.asarray(scene.mesh.tile_aabb[ar0:ar0 + nt])
+            tiles = []
+            for j in range(nt):
+                cols = table[:, col0 + j * TRI_LANES:
+                             col0 + (j + 1) * TRI_LANES]
+                tris = []
+                for c in range(TRI_LANES):
+                    col = cols[:, c]
+                    if col[0] == 0 and col[1] == 0 and col[2] == 0:
+                        continue  # degenerate / padding
+                    tris.append(tuple(float(v) for v in col[:38]))
+                tiles.append((tuple(float(v) for v in aabb[j, :6]),
+                              tuple(tris)))
+            mesh_insts.append(dict(
+                itm=mat3(scene.mesh_inst.itm[i]),
+                pos=vec(scene.mesh_inst.pos[i]),
+                nrm=mat3(scene.mesh_inst.nrm[i]),
+                mesh_lo=mlo, mesh_hi=mhi, tiles=tuple(tiles)))
+
+    return dict(
+        spheres=group(scene.spheres, scene.num_spheres),
+        planes=group(scene.planes, scene.num_planes),
+        mesh_insts=mesh_insts,
+        materials=mats, lights=lights,
+        env=vec(scene.env_color), bg=vec(scene.bg_color))
+
+
+def fusable(scene, cfg) -> bool:
+    """Can this scene+config run on the fused path?"""
+    if cfg.gi_mode != "none":
+        return False
+    if cfg.resolved_split_mode() != "rr":
+        return False
+    if scene.any_soft_light or cfg.shadow_min != 1:
+        return False
+    if scene.bg_tm >= 0 or scene.env_tm >= 0:
+        return False
+    mt = scene.materials
+    for tm in (mt.diffuse_tm, mt.specular_tm, mt.emission_tm,
+               mt.reflection_tm, mt.refraction_tm):
+        if int(np.asarray(tm).max(initial=-1)) >= 0:
+            return False
+    if float(np.asarray(mt.refl_gloss).max(initial=0.0)) > 0:
+        return False
+    if float(np.asarray(mt.refr_gloss).max(initial=0.0)) > 0:
+        return False
+    if sum(1 for k in scene.light_kinds if k != "ambient") > 2:
+        return False
+    if scene.mesh is not None and scene.mesh.tri_a.shape[0] > MAX_FACES:
+        return False
+    if scene.materials.diffuse.shape[0] > 16:
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# kernel helpers
+
+
+def _norm3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    return x * inv, y * inv, z * inv
+
+
+def _mat3_apply_const(m, x, y, z):
+    return (m[0][0] * x + m[0][1] * y + m[0][2] * z,
+            m[1][0] * x + m[1][1] * y + m[1][2] * z,
+            m[2][0] * x + m[2][1] * y + m[2][2] * z)
+
+
+def _offset_origin(px, py, pz, nx, ny, nz, dx, dy, dz, eps=1e-4):
+    """core.math.offset_origin: nudge off the surface along +-N toward the
+    side d leaves through, magnitude-relative."""
+    scale = eps * (1.0 + jnp.maximum(jnp.maximum(jnp.abs(px), jnp.abs(py)),
+                                     jnp.abs(pz)))
+    side = jnp.where(dx * nx + dy * ny + dz * nz >= 0.0, scale, -scale)
+    return px + nx * side, py + ny * side, pz + nz * side
+
+
+def _block_reach(o3, d3, t_cap_scalar, mlo, mhi):
+    """Conservative [t-bounded] reach box of a whole 1024-ray block in
+    instance-local space: 12 whole-block reductions + scalar math."""
+    olo = [jnp.min(o3[a]) for a in range(3)]
+    ohi = [jnp.max(o3[a]) for a in range(3)]
+    dlo = [jnp.min(d3[a]) for a in range(3)]
+    dhi = [jnp.max(d3[a]) for a in range(3)]
+    big_dist = sum(
+        jnp.maximum(jnp.abs(mhi[a] - olo[a]), jnp.abs(ohi[a] - mlo[a]))
+        for a in range(3))
+    linf = jnp.maximum(jnp.maximum(jnp.abs(d3[0]), jnp.abs(d3[1])),
+                       jnp.abs(d3[2]))
+    dmin = jnp.maximum(jnp.min(linf), 1e-20)
+    reach = jnp.minimum(big_dist / dmin, t_cap_scalar)
+    rlo = [olo[a] + reach * jnp.minimum(dlo[a], 0.0) for a in range(3)]
+    rhi = [ohi[a] + reach * jnp.maximum(dhi[a], 0.0) for a in range(3)]
+    return rlo, rhi
+
+
+def _box_overlap(rlo, rhi, lo, hi):
+    return ((rhi[0] >= lo[0]) & (rlo[0] <= hi[0])
+            & (rhi[1] >= lo[1]) & (rlo[1] <= hi[1])
+            & (rhi[2] >= lo[2]) & (rlo[2] <= hi[2]))
+
+
+def _mesh_closest(o3, d3, consts, st, t_cap_scalar):
+    """Closest mesh hit over all instances: per-(block, tile) and
+    per-(block, triangle) immediate-AABB culling, winner state in the st
+    scratch ([6, 8, 128]: t, nx, ny, nz, mtl, front; world normal)."""
+    shape = o3[0].shape
+    st[0] = jnp.full(shape, BIG, jnp.float32)
+    for r in range(1, 6):
+        st[r] = jnp.zeros(shape, jnp.float32)
+
+    for inst in consts["mesh_insts"]:
+        lo3 = _mat3_apply_const(inst["itm"],
+                                o3[0] - inst["pos"][0],
+                                o3[1] - inst["pos"][1],
+                                o3[2] - inst["pos"][2])
+        ld3 = _mat3_apply_const(inst["itm"], d3[0], d3[1], d3[2])
+        rlo, rhi = _block_reach(lo3, ld3, t_cap_scalar,
+                                inst["mesh_lo"], inst["mesh_hi"])
+        nrm = inst["nrm"]
+        for (tile_bb, tris) in inst["tiles"]:
+            tile_ov = _box_overlap(rlo, rhi, tile_bb[0:3], tile_bb[3:6])
+
+            @pl.when(tile_ov)
+            def _(tris=tris, lo3=lo3, ld3=ld3, rlo=rlo, rhi=rhi, nrm=nrm):
+                for tc in tris:
+                    tri_ov = _box_overlap(rlo, rhi, tc[32:35], tc[35:38])
+
+                    @pl.when(tri_ov)
+                    def _(tc=tc):
+                        nx_, ny_, nz_, na = tc[0], tc[1], tc[2], tc[3]
+                        k0, k1, k2 = tc[4], tc[5], tc[6]
+                        l0, l1, l2 = tc[7], tc[8], tc[9]
+                        is_x, is_z = tc[10] > 0.5, tc[11] > 0.5
+
+                        dn = ld3[0] * nx_ + ld3[1] * ny_ + ld3[2] * nz_
+                        pn = (lo3[0] * nx_ + lo3[1] * ny_ + lo3[2] * nz_
+                              - na)
+                        bad = jnp.abs(dn) < DZ_EPS
+                        t = -pn / jnp.where(bad, DZ_EPS, dn)
+                        hx = lo3[0] + t * ld3[0]
+                        hy = lo3[1] + t * ld3[1]
+                        hz = lo3[2] + t * ld3[2]
+                        pu = hy if is_x else hx
+                        pv = hy if is_z else hz
+                        ba = k0 + k1 * pu + k2 * pv
+                        bb_ = l0 + l1 * pu + l2 * pv
+                        bc = 1.0 - ba - bb_
+                        t_best = st[0]
+                        ok = ((~bad) & (t > ZERO) & (t < t_best)
+                              & (ba >= 0.0) & (bb_ >= 0.0) & (bc >= 0.0))
+                        # interpolated local normal -> world (immediates)
+                        lnx = tc[12] * ba + tc[15] * bb_ + tc[18] * bc
+                        lny = tc[13] * ba + tc[16] * bb_ + tc[19] * bc
+                        lnz = tc[14] * ba + tc[17] * bb_ + tc[20] * bc
+                        wnx, wny, wnz = _mat3_apply_const(nrm, lnx, lny, lnz)
+                        st[0] = jnp.where(ok, t, t_best)
+                        st[1] = jnp.where(ok, wnx, st[1])
+                        st[2] = jnp.where(ok, wny, st[2])
+                        st[3] = jnp.where(ok, wnz, st[3])
+                        st[4] = jnp.where(ok, tc[30], st[4])
+                        st[5] = jnp.where(
+                            ok, jnp.where(dn <= 0.0, 1.0, 0.0), st[5])
+
+
+def _mesh_anyhit(o3, d3, t_cap, consts, st, row):
+    """Mesh occlusion for shadow rays (t in |d| units, cap per ray).
+    Occlusion accumulates in st[row] scratch (pl.when needs a ref);
+    caller initializes st[row] to zeros and reads it afterwards."""
+    for inst in consts["mesh_insts"]:
+        lo3 = _mat3_apply_const(inst["itm"],
+                                o3[0] - inst["pos"][0],
+                                o3[1] - inst["pos"][1],
+                                o3[2] - inst["pos"][2])
+        ld3 = _mat3_apply_const(inst["itm"], d3[0], d3[1], d3[2])
+        rlo, rhi = _block_reach(lo3, ld3, jnp.max(t_cap),
+                                inst["mesh_lo"], inst["mesh_hi"])
+        for (tile_bb, tris) in inst["tiles"]:
+            tile_ov = _box_overlap(rlo, rhi, tile_bb[0:3], tile_bb[3:6])
+
+            @pl.when(tile_ov)
+            def _(tris=tris, lo3=lo3, ld3=ld3, rlo=rlo, rhi=rhi):
+                for tc in tris:
+                    tri_ov = _box_overlap(rlo, rhi, tc[32:35], tc[35:38])
+
+                    @pl.when(tri_ov)
+                    def _(tc=tc):
+                        nx_, ny_, nz_, na = tc[0], tc[1], tc[2], tc[3]
+                        dn = ld3[0] * nx_ + ld3[1] * ny_ + ld3[2] * nz_
+                        pn = (lo3[0] * nx_ + lo3[1] * ny_ + lo3[2] * nz_
+                              - na)
+                        bad = jnp.abs(dn) < DZ_EPS
+                        t = -pn / jnp.where(bad, DZ_EPS, dn)
+                        hx = lo3[0] + t * ld3[0]
+                        hy = lo3[1] + t * ld3[1]
+                        hz = lo3[2] + t * ld3[2]
+                        pu = hy if tc[10] > 0.5 else hx
+                        pv = hy if tc[11] > 0.5 else hz
+                        ba = tc[4] + tc[5] * pu + tc[6] * pv
+                        bb_ = tc[7] + tc[8] * pu + tc[9] * pv
+                        bc = 1.0 - ba - bb_
+                        ok = ((~bad) & (t > ZERO) & (t > 1e-14)
+                              & (t < t_cap) & (ba >= 0.0) & (bb_ >= 0.0)
+                              & (bc >= 0.0))
+                        st[row] = jnp.maximum(
+                            st[row], jnp.where(ok, 1.0, 0.0))
+
+
+def _primitive_phase(o3, d3, t, n3, mtl, front, consts):
+    """Spheres and planes on full [8,128] ray registers; min-merges into
+    the mesh result.  Semantics of ops/intersect.py."""
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    nx, ny, nz = n3
+
+    for sp in consts["spheres"]:
+        lox, loy, loz = _mat3_apply_const(
+            sp["itm"], ox - sp["pos"][0], oy - sp["pos"][1],
+            oz - sp["pos"][2])
+        ldx, ldy, ldz = _mat3_apply_const(sp["itm"], dx, dy, dz)
+        a = jnp.maximum(ldx * ldx + ldy * ldy + ldz * ldz, 1e-30)
+        half_b = lox * ldx + loy * ldy + loz * ldz
+        tc = -half_b / a
+        mx = lox + tc * ldx
+        my = loy + tc * ldy
+        mz = loz + tc * ldz
+        disc = 4.0 * a * (1.0 - (mx * mx + my * my + mz * mz))
+        s = jnp.sqrt(jnp.maximum(disc, 0.0)) / (2.0 * a)
+        t1 = tc + s
+        t2 = tc - s
+        has = disc >= ZERO
+        back = has & (t1 > ZERO) & (t2 < ZERO) & (t1 < t)
+        frontal = has & (t1 > ZERO) & (t2 > ZERO) & (t2 < t)
+        ts = jnp.where(frontal, t2, t1)
+        vs = frontal | back
+        hx = lox + ts * ldx
+        hy = loy + ts * ldy
+        hz = loz + ts * ldz
+        wnx, wny, wnz = _mat3_apply_const(sp["nrm"], hx, hy, hz)
+        t = jnp.where(vs, ts, t)
+        nx = jnp.where(vs, wnx, nx)
+        ny = jnp.where(vs, wny, ny)
+        nz = jnp.where(vs, wnz, nz)
+        mtl = jnp.where(vs, float(sp["mtl"]), mtl)
+        front = jnp.where(vs, jnp.where(frontal, 1.0, 0.0), front)
+
+    for pln in consts["planes"]:
+        lox, loy, loz = _mat3_apply_const(
+            pln["itm"], ox - pln["pos"][0], oy - pln["pos"][1],
+            oz - pln["pos"][2])
+        ldx, ldy, ldz = _mat3_apply_const(pln["itm"], dx, dy, dz)
+        nz_ok = ldz != 0.0
+        tp = -(loz / jnp.where(nz_ok, ldz, 1e-30))
+        hx = lox + tp * ldx
+        hy = loy + tp * ldy
+        vp = nz_ok & (tp >= ZERO) & (tp < t)
+        vp &= (hx >= -1.0) & (hx <= 1.0) & (hy >= -1.0) & (hy <= 1.0)
+        t = jnp.where(vp, tp, t)
+        nx = jnp.where(vp, pln["nrm"][0][2], nx)
+        ny = jnp.where(vp, pln["nrm"][1][2], ny)
+        nz = jnp.where(vp, pln["nrm"][2][2], nz)
+        mtl = jnp.where(vp, float(pln["mtl"]), mtl)
+        front = jnp.where(vp, jnp.where(ldz <= 0.0, 1.0, 0.0), front)
+
+    return t, (nx, ny, nz), mtl, front
+
+
+def _primitive_anyhit(o3, d3, t_cap, occ, consts):
+    """Sphere/plane occlusion (1e-14 < t < t_cap, GenLight::Shadow)."""
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    for sp in consts["spheres"]:
+        lox, loy, loz = _mat3_apply_const(
+            sp["itm"], ox - sp["pos"][0], oy - sp["pos"][1],
+            oz - sp["pos"][2])
+        ldx, ldy, ldz = _mat3_apply_const(sp["itm"], dx, dy, dz)
+        a = jnp.maximum(ldx * ldx + ldy * ldy + ldz * ldz, 1e-30)
+        half_b = lox * ldx + loy * ldy + loz * ldz
+        tc = -half_b / a
+        mx = lox + tc * ldx
+        my = loy + tc * ldy
+        mz = loz + tc * ldz
+        disc = 4.0 * a * (1.0 - (mx * mx + my * my + mz * mz))
+        s = jnp.sqrt(jnp.maximum(disc, 0.0)) / (2.0 * a)
+        t1 = tc + s
+        t2 = tc - s
+        has = disc >= ZERO
+        ts = jnp.where(t2 > ZERO, t2, t1)
+        vs = has & (t1 > ZERO) & (ts > 1e-14) & (ts < t_cap)
+        occ = jnp.maximum(occ, jnp.where(vs, 1.0, 0.0))
+    for pln in consts["planes"]:
+        lox, loy, loz = _mat3_apply_const(
+            pln["itm"], ox - pln["pos"][0], oy - pln["pos"][1],
+            oz - pln["pos"][2])
+        ldx, ldy, ldz = _mat3_apply_const(pln["itm"], dx, dy, dz)
+        nz_ok = ldz != 0.0
+        tp = -(loz / jnp.where(nz_ok, ldz, 1e-30))
+        hx = lox + tp * ldx
+        hy = loy + tp * ldy
+        vp = nz_ok & (tp >= ZERO) & (tp > 1e-14) & (tp < t_cap)
+        vp &= (hx >= -1.0) & (hx <= 1.0) & (hy >= -1.0) & (hy <= 1.0)
+        occ = jnp.maximum(occ, jnp.where(vp, 1.0, 0.0))
+    return occ
+
+
+def _select_material(mtl_id, consts, field, dims=3):
+    """Static unrolled material table lookup (tables are immediates)."""
+    mats = consts["materials"]
+    if dims == 1:
+        acc = jnp.zeros_like(mtl_id)
+        for m, mat in enumerate(mats):
+            acc = jnp.where(mtl_id == float(m), float(mat[field]), acc)
+        return acc
+    accs = [jnp.zeros_like(mtl_id) for _ in range(3)]
+    for m, mat in enumerate(mats):
+        selm = mtl_id == float(m)
+        v = mat[field]
+        accs = [jnp.where(selm, float(v[c]), accs[c]) for c in range(3)]
+    return accs
+
+
+# ---------------------------------------------------------------------------
+# the wave kernel: one bounce, everything fused
+
+
+def _wave_kernel(seed_ref, rays_ref, out_ref, next_ref, st,
+                 *, consts, cfg_c):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919)
+    shape = (SUB, TRI_LANES)
+    sh = rays_ref[0]                       # [16, 8, 128]
+    alive_f = sh[R_ALIVE]
+    any_alive = jnp.max(alive_f) > 0.0
+
+    @pl.when(~any_alive)
+    def _():
+        zero = jnp.zeros(shape, jnp.float32)
+        for r in range(16):
+            out_ref[0, r] = jnp.full(shape, BIG, jnp.float32) if r == 4 \
+                else zero
+        for r in range(16):
+            if r in (R_O, R_O + 1, R_O + 2):
+                next_ref[0, r] = jnp.full(shape, SENTINEL, jnp.float32)
+            elif r == R_D:
+                next_ref[0, r] = jnp.ones(shape, jnp.float32)
+            else:
+                next_ref[0, r] = zero
+
+    @pl.when(any_alive)
+    def _():
+        _wave_body(sh, out_ref, next_ref, st, consts, cfg_c)
+
+
+def _wave_body(sh, out_ref, next_ref, st, consts, cfg_c):
+    shape = (SUB, TRI_LANES)
+    o3 = (sh[R_O], sh[R_O + 1], sh[R_O + 2])
+    d3 = (sh[R_D], sh[R_D + 1], sh[R_D + 2])
+    tput = (sh[R_TPUT], sh[R_TPUT + 1], sh[R_TPUT + 2])
+    absorb = (sh[R_ABS], sh[R_ABS + 1], sh[R_ABS + 2])
+    alive = sh[R_ALIVE] > 0.0
+    rtype = sh[R_RTYPE]
+
+    # ---- closest hit: mesh (culled immediates) then primitives ----------
+    _mesh_closest(o3, d3, consts, st, jnp.float32(BIG))
+    t, n3, mtl, front = _primitive_phase(
+        o3, d3, st[0], (st[1], st[2], st[3]), st[4], st[5], consts)
+    hit = alive & (t < BIG)
+    nx, ny, nz = _norm3(*n3)
+    frontb = front > 0.5
+
+    px = o3[0] + t * d3[0]
+    py = o3[1] + t * d3[1]
+    pz = o3[2] + t * d3[2]
+
+    # Beer absorption through the parent's medium (materials.h:60-66)
+    k_eff = [tput[c] * jnp.where(frontb, 1.0,
+                                 jnp.exp(-absorb[c] * jnp.minimum(t, 1e4)))
+             for c in range(3)]
+
+    kd = _select_material(mtl, consts, "kd")
+    ks = _select_material(mtl, consts, "ks")
+    gloss = _select_material(mtl, consts, "gloss", dims=1)
+    refl = _select_material(mtl, consts, "refl")
+    refr = _select_material(mtl, consts, "refr")
+    ior = jnp.maximum(_select_material(mtl, consts, "ior", dims=1), 1e-6)
+    m_abs = _select_material(mtl, consts, "absorb")
+    emis = _select_material(mtl, consts, "emis")
+
+    vx, vy, vz = -d3[0], -d3[1], -d3[2]
+
+    # ---- direct lighting + in-kernel shadow visibility ------------------
+    rad = [emis[c] for c in range(3)]
+    coef = (1.0 / max(len(consts["lights"]), 1)
+            if cfg_c["light_average"] else 1.0)
+    for lt in consts["lights"]:
+        inten = lt["intensity"]
+        if lt["kind"] == "ambient":
+            for c in range(3):
+                rad[c] += jnp.where(frontb, kd[c] * inten[c] * coef, 0.0)
+            continue
+        if lt["kind"] == "direct":
+            lx = -lt["direction"][0] + jnp.zeros_like(px)
+            ly = -lt["direction"][1] + jnp.zeros_like(px)
+            lz = -lt["direction"][2] + jnp.zeros_like(px)
+            sdx, sdy, sdz = lx, ly, lz
+            tmax_v = jnp.where(hit, BIG, 0.0)
+            inv_r2 = 1.0
+        else:  # point
+            lx = lt["position"][0] - px
+            ly = lt["position"][1] - py
+            lz = lt["position"][2] - pz
+            sdx, sdy, sdz = lx, ly, lz
+            tmax_v = jnp.where(hit, 1.0, 0.0)
+            if cfg_c["inverse_square"]:
+                inv_r2 = 1.0 / jnp.maximum(lx * lx + ly * ly + lz * lz,
+                                           1e-30)
+            else:
+                inv_r2 = 1.0
+            lx, ly, lz = _norm3(lx, ly, lz)
+        hx_, hy_, hz_ = _norm3(lx + vx, ly + vy, lz + vz)
+        cos_nl = jnp.maximum(0.0, nx * lx + ny * ly + nz * lz)
+        cos_nh = jnp.maximum(0.0, nx * hx_ + ny * hy_ + nz * hz_)
+        spec = jnp.power(cos_nh, gloss)
+
+        # shadow ray (GenLight::Shadow, main.cpp:499-513)
+        sox, soy, soz = _offset_origin(px, py, pz, nx, ny, nz,
+                                       sdx, sdy, sdz)
+        sox = jnp.where(hit, sox, SENTINEL)
+        soy = jnp.where(hit, soy, SENTINEL)
+        soz = jnp.where(hit, soz, SENTINEL)
+        # closest-hit state (st rows 0-5) is fully consumed by now;
+        # reuse row 0 as the shadow-occlusion accumulator
+        st[0] = jnp.zeros(shape, jnp.float32)
+        _mesh_anyhit((sox, soy, soz), (sdx, sdy, sdz), tmax_v,
+                     consts, st, 0)
+        occ = _primitive_anyhit((sox, soy, soz), (sdx, sdy, sdz), tmax_v,
+                                st[0], consts)
+        vis = 1.0 - occ
+        for c in range(3):
+            lit_c = ((kd[c] + ks[c] * spec) * inten[c] * coef * inv_r2
+                     * cos_nl)
+            rad[c] += jnp.where(frontb & hit, lit_c * vis, 0.0)
+
+    for c in range(3):
+        rad[c] = jnp.where(hit, rad[c] * k_eff[c], 0.0)
+
+    # environment on refraction-ray miss (main.cpp:634-636)
+    env_ok = rtype == float(RT_REFRACT)
+    if cfg_c["env_on_reflect_miss"]:
+        env_ok = env_ok | (rtype == float(RT_REFLECT))
+    env_mask = alive & (t >= BIG) & env_ok
+    for c in range(3):
+        rad[c] = rad[c] + jnp.where(env_mask,
+                                    tput[c] * consts["env"][c], 0.0)
+
+    out_ref[0, 0] = rad[0]
+    out_ref[0, 1] = rad[1]
+    out_ref[0, 2] = rad[2]
+    out_ref[0, 3] = jnp.where(hit, 1.0, 0.0)
+    out_ref[0, 4] = jnp.where(hit, t, BIG)
+    for extra in range(5, 16):
+        out_ref[0, extra] = jnp.zeros(shape, jnp.float32)
+
+    # ---- Fresnel split (fresnel_split, main.cpp:577-610) ----------------
+    eta = jnp.where(frontb, 1.0 / ior, ior)
+    cos_i = nx * vx + ny * vy + nz * vz
+    sgn = jnp.where(cos_i > 0.0, 1.0, -1.0)
+    yx, yy, yz = nx * sgn, ny * sgn, nz * sgn
+    zx = vy * yz - vz * yy
+    zy = vz * yx - vx * yz
+    zz = vx * yy - vy * yx
+    xx = yy * zz - yz * zy
+    xy = yz * zx - yx * zz
+    xz = yx * zy - yy * zx
+    xx, xy, xz = _norm3(xx, xy, xz)
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
+    sin_o = jnp.clip(sin_i * eta, 0.0, 1.0)
+    cos_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_o * sin_o))
+    tdx, tdy, tdz = _norm3(-xx * sin_o - yx * cos_o,
+                           -xy * sin_o - yy * cos_o,
+                           -xz * sin_o - yz * cos_o)
+    rdx, rdy, rdz = _norm3(2.0 * cos_i * nx - vx,
+                           2.0 * cos_i * ny - vy,
+                           2.0 * cos_i * nz - vz)
+    c0 = (eta - 1.0) ** 2 / (eta + 1.0) ** 2
+    r_c = c0 + (1.0 - c0) * jnp.power(1.0 - jnp.abs(cos_i), 5.0)
+    t_c = 1.0 - r_c
+    tot = (eta * sin_i) > cfg_c["total_reflection_threshold"]
+    rk = [jnp.where(tot, refl[c] + refr[c], refl[c] + refr[c] * r_c)
+          for c in range(3)]
+    tk = [jnp.where(tot, 0.0, refr[c] * t_c) for c in range(3)]
+
+    thr = cfg_c["color_threshold"]
+    r_w = [k_eff[c] * rk[c] for c in range(3)]
+    t_w = [k_eff[c] * tk[c] for c in range(3)]
+    r_go = hit & ((rk[0] > thr) | (rk[1] > thr) | (rk[2] > thr))
+    t_go = hit & ((tk[0] > thr) | (tk[1] > thr) | (tk[2] > thr))
+
+    # ---- Russian-roulette continuation (integrator._rr_select) ----------
+    wr = jnp.where(r_go, (r_w[0] + r_w[1] + r_w[2]) * (1.0 / 3.0), 0.0)
+    wt = jnp.where(t_go, (t_w[0] + t_w[1] + t_w[2]) * (1.0 / 3.0), 0.0)
+    wsum = wr + wt
+    bits = pltpu.prng_random_bits(shape)
+    bits24 = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32)
+    u01 = bits24.astype(jnp.float32) * (1.0 / 16777216.0)
+    u = u01 * jnp.maximum(wsum, 1e-30)
+    take_r = ((u < wr) | (wt <= 0.0)) & (wr > 0.0)
+    w_chosen = jnp.where(take_r, wr, wt)
+    scale = wsum / jnp.maximum(w_chosen, 1e-30)
+    child_alive = wsum > 0.0
+
+    cdx = jnp.where(take_r, rdx, tdx)
+    cdy = jnp.where(take_r, rdy, tdy)
+    cdz = jnp.where(take_r, rdz, tdz)
+    cox, coy, coz = _offset_origin(px, py, pz, nx, ny, nz, cdx, cdy, cdz)
+    next_ref[0, R_O + 0] = jnp.where(child_alive, cox, SENTINEL)
+    next_ref[0, R_O + 1] = jnp.where(child_alive, coy, SENTINEL)
+    next_ref[0, R_O + 2] = jnp.where(child_alive, coz, SENTINEL)
+    next_ref[0, R_D + 0] = jnp.where(child_alive, cdx, 1.0)
+    next_ref[0, R_D + 1] = jnp.where(child_alive, cdy, 0.0)
+    next_ref[0, R_D + 2] = jnp.where(child_alive, cdz, 0.0)
+    for c in range(3):
+        childw = jnp.where(take_r, r_w[c], t_w[c]) * scale
+        next_ref[0, R_TPUT + c] = jnp.where(child_alive, childw, 0.0)
+        next_ref[0, R_ABS + c] = jnp.where(child_alive, m_abs[c], 0.0)
+    next_ref[0, R_ALIVE] = jnp.where(child_alive, 1.0, 0.0)
+    next_ref[0, R_RTYPE] = jnp.where(take_r, float(RT_REFLECT),
+                                     float(RT_REFRACT))
+    next_ref[0, 14] = jnp.zeros(shape, jnp.float32)
+    next_ref[0, 15] = jnp.zeros(shape, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# host-side wave driver (no transposes: lane r = blk*1024 + s*128 + l)
+
+
+def _pad_blocks(n):
+    return ((max(n, BLOCK) + BLOCK - 1) // BLOCK) * BLOCK
+
+
+def _blk4(a):
+    return pl.BlockSpec((1, a, SUB, TRI_LANES), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _pack_rays_sh(cols):
+    """dict {row: [N] array} -> [nblk, 16, 8, 128] by plain reshape."""
+    n = cols[R_O].shape[0]
+    nblk = n // BLOCK
+    rows = []
+    zero = jnp.zeros((n,), jnp.float32)
+    for r in range(16):
+        rows.append(cols.get(r, zero).reshape(nblk, 1, SUB, TRI_LANES))
+    return jnp.concatenate(rows, axis=1)
+
+
+def fused_bounce(cfg, consts, rays_sh, seed, interpret=None):
+    """One fully-fused bounce.  rays_sh [nblk,16,8,128] ->
+    (out [nblk,16,8,128]: rgb, hit, z; next_sh same shape)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nblk = rays_sh.shape[0]
+    cfg_c = dict(light_average=cfg.light_average,
+                 inverse_square=cfg.inverse_square,
+                 env_on_reflect_miss=cfg.env_on_reflect_miss,
+                 total_reflection_threshold=cfg.total_reflection_threshold,
+                 color_threshold=cfg.color_threshold)
+    kern = functools.partial(_wave_kernel, consts=consts, cfg_c=cfg_c)
+    out, next_sh = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk, 16, SUB, TRI_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, 16, SUB, TRI_LANES), jnp.float32),
+        ],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _blk4(16),
+        ],
+        out_specs=[_blk4(16), _blk4(16)],
+        scratch_shapes=[pltpu.VMEM((6, SUB, TRI_LANES), jnp.float32)],
+        interpret=interpret,
+    )(jnp.full((1,), seed, jnp.int32), rays_sh)
+    return out, next_sh
+
+
+def fused_wave(cfg, consts, o, d, alive, seed, bounces=None):
+    """Full wave: primary rays -> (radiance [n,3] per lane, hit [n],
+    z [n]).  Lane order is plain ray order (reshape-packed)."""
+    n0 = o.shape[0]
+    n = _pad_blocks(n0)
+
+    def padded(x, fill=0.0):
+        if x.shape[0] == n:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((n - n0,) + x.shape[1:], fill, x.dtype)])
+
+    alive_f = padded(alive.astype(jnp.float32))
+    o_p = padded(jnp.where(alive[:, None], o, SENTINEL), SENTINEL)
+    d_p = padded(d, 1.0)
+    one = jnp.ones((n,), jnp.float32)
+    rays_sh = _pack_rays_sh({
+        R_O: o_p[:, 0], R_O + 1: o_p[:, 1], R_O + 2: o_p[:, 2],
+        R_D: d_p[:, 0], R_D + 1: d_p[:, 1], R_D + 2: d_p[:, 2],
+        R_TPUT: one, R_TPUT + 1: one, R_TPUT + 2: one,
+        R_ALIVE: alive_f,
+    })
+
+    nb = cfg.bounces if bounces is None else bounces
+    lane_rad = jnp.zeros((n // BLOCK, 3, SUB, TRI_LANES), jnp.float32)
+    hit0 = None
+    z0 = None
+    for b in range(nb + 1):
+        out, rays_sh = fused_bounce(cfg, consts, rays_sh, seed + b * 101)
+        lane_rad = lane_rad + out[:, 0:3]
+        if b == 0:
+            hit0 = out[:, 3].reshape(n)[:n0] > 0.0
+            z0 = out[:, 4].reshape(n)[:n0]
+    rad = lane_rad.transpose(0, 2, 3, 1).reshape(n, 3)[:n0]
+    return rad, hit0, z0

@@ -101,6 +101,10 @@ def shade_lanes(scene, cfg, o, d, tput, absorb, pixel, alive, rtype,
     gi_grid: photon grid for deep-bounce indirect light — the reference
     adds kd * EstimateIrradiance * max(0, N.(-meanDir)) at every Shade
     call below the first bounce (main.cpp:694-705)."""
+    # dead lanes trace from a far sentinel so whole-dead ray blocks are
+    # skipped by the mesh kernel's AABB culling (compaction keeps live
+    # lanes contiguous, so dead lanes cluster into skippable blocks)
+    o = jnp.where(alive[:, None], o, 1.0e7)
     hit = trace(scene, o, d)
     surf = resolve_surface(scene, o, d, hit)
     hit_mask = surf.valid & alive
@@ -162,17 +166,69 @@ class WaveOutput(NamedTuple):
     z_min: jnp.ndarray       # [P] closest primary hit depth
 
 
+def _rr_select(children: RayQueue, key) -> RayQueue:
+    """Collapse the [2N] reflect+refract candidates to [N] lane-aligned
+    continuations: per lane pick ONE child with probability proportional
+    to its throughput luma and reweight by the inverse probability —
+    an unbiased estimator of following both (the reference recursion,
+    main.cpp:613-638).  Lane k of the result continues pixel
+    children.pixel[k], so pixel<->lane stays a static permutation."""
+    n = children.capacity // 2
+    refl = jax.tree.map(lambda x: x[:n], children)
+    refr = jax.tree.map(lambda x: x[n:], children)
+    wr = jnp.where(refl.alive, luma(refl.tput), 0.0)
+    wt = jnp.where(refr.alive, luma(refr.tput), 0.0)
+    wsum = wr + wt
+    u = jax.random.uniform(key, (n,)) * jnp.maximum(wsum, 1e-30)
+    take_r = (u < wr) | (wt <= 0.0)
+    take_r &= wr > 0.0
+
+    def pick(a, b):
+        m = take_r
+        if a.ndim > 1:
+            m = m[:, None]
+        return jnp.where(m, a, b)
+
+    w_chosen = jnp.where(take_r, wr, wt)
+    scale = (wsum / jnp.maximum(w_chosen, 1e-30))[:, None]
+    alive = (wsum > 0.0) & (refl.alive | refr.alive)
+    return RayQueue(
+        o=pick(refl.o, refr.o), d=pick(refl.d, refr.d),
+        tput=pick(refl.tput, refr.tput) * scale,
+        absorb=pick(refl.absorb, refr.absorb),
+        pixel=refl.pixel,
+        rtype=pick(refl.rtype, refr.rtype),
+        alive=alive)
+
+
+def _run_bounces_rr(scene, cfg, q: RayQueue, key, gi_grid=None):
+    """Lane-aligned bounce loop: returns summed radiance PER LANE."""
+    n = q.capacity
+    lane_rad = jnp.zeros((n, 3), jnp.float32)
+    for b in range(cfg.bounces):
+        kb = jax.random.fold_in(key, b)
+        res = shade_lanes(scene, cfg, q.o, q.d, q.tput, q.absorb, q.pixel,
+                          q.alive, q.rtype, kb, gi_grid=gi_grid)
+        lane_rad = lane_rad + res.radiance
+        if b + 1 < cfg.bounces:
+            q = _rr_select(res.children, jax.random.fold_in(kb, 31))
+    return lane_rad
+
+
 def render_wave(scene, cfg, o, d, pixel, sample_mask, key,
-                num_pixels: int, gi_grid=None) -> WaveOutput:
+                num_pixels: int, gi_grid=None, inv_pixel=None) -> WaveOutput:
     """Render one wave of primary samples through the full bounce queue.
 
     `sample_mask` disables lanes (adaptive-AA wave 2 only touches
     unconverged pixels).  Radiance is the SUM over samples; the caller
     divides by per-pixel hit counts, reproducing the reference's
     average-over-hit-samples (main.cpp:309-311).
+
+    `inv_pixel`: when `pixel` is a permutation of arange(num_pixels),
+    its static inverse; lane->pixel assembly then becomes one gather and
+    the whole wave is scatter-free (requires the 'rr' split mode path).
     """
     n = o.shape[0]
-    image = jnp.zeros((num_pixels, 3), jnp.float32)
 
     k_prim, k_loop = jax.random.split(key)
     res = shade_lanes(scene, cfg, o, d,
@@ -182,6 +238,38 @@ def render_wave(scene, cfg, o, d, pixel, sample_mask, key,
                       alive=sample_mask,
                       rtype=jnp.full(n, RT_PRIMARY, jnp.int32),
                       key=k_prim)
+
+    use_rr = cfg.resolved_split_mode() == "rr" and inv_pixel is not None
+
+    if use_rr:
+        lane_rad = res.radiance
+        if cfg.gi_mode in ("hemisphere", "pathtrace", "photon") \
+                and cfg.hemisphere_samples > 0:
+            k_gi = jax.random.fold_in(key, 101)
+            for i in range(cfg.hemisphere_samples):
+                chunk = _hemisphere_chunk(scene, cfg, res, pixel,
+                                          jax.random.fold_in(k_gi, i))
+                kc = jax.random.fold_in(k_loop, 1000 + i)
+                res_c = shade_lanes(scene, cfg, chunk.o, chunk.d, chunk.tput,
+                                    chunk.absorb, chunk.pixel, chunk.alive,
+                                    chunk.rtype, kc, gi_grid=gi_grid)
+                lane_rad = lane_rad + res_c.radiance
+                q_c = _rr_select(res_c.children, jax.random.fold_in(kc, 31))
+                lane_rad = lane_rad + _run_bounces_rr(
+                    scene, cfg, q_c, jax.random.fold_in(kc, 32),
+                    gi_grid=gi_grid)
+        q = _rr_select(res.children, jax.random.fold_in(k_loop, 77))
+        lane_rad = lane_rad + _run_bounces_rr(scene, cfg, q, k_loop,
+                                              gi_grid=gi_grid)
+        # lane -> pixel space: one static-permutation gather, no scatter
+        image = lane_rad[inv_pixel]
+        hit_count = (res.hit_mask & sample_mask).astype(jnp.int32)[inv_pixel]
+        big = jnp.float32(1.0e30)
+        z = jnp.where(res.hit_mask & sample_mask, res.hit_t, big)
+        z_min = z[inv_pixel]
+        return WaveOutput(radiance=image, hit_count=hit_count, z_min=z_min)
+
+    image = jnp.zeros((num_pixels, 3), jnp.float32)
     image = _splat(image, pixel, res.radiance, sample_mask)
     hit_count = jax.ops.segment_sum(
         (res.hit_mask & sample_mask).astype(jnp.int32), pixel,

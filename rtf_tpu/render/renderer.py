@@ -24,9 +24,11 @@ import numpy as np
 
 from rtf_tpu.core.math import BIGFLOAT
 from rtf_tpu.ops.texture import sample_background
-from rtf_tpu.render.camera import pixel_grid, pixel_order, primary_rays
+from rtf_tpu.render.camera import (
+    pixel_grid, pixel_order, pixel_order_inv, primary_rays,
+)
 from rtf_tpu.render.config import RenderConfig
-from rtf_tpu.render.integrator import render_wave
+from rtf_tpu.render.integrator import WaveOutput, render_wave
 
 
 class RenderResult(NamedTuple):
@@ -40,48 +42,82 @@ def _wave_stats(scene, cfg, sample_lo: int, sample_hi: int, key,
                 mask_pixels, gi_grid=None):
     """Trace samples [sample_lo, sample_hi) for all pixels; returns summed
     radiance, summed squares (for variance), hit counts, z."""
-    w, h = scene.width, scene.height
-    num_px = w * h
-    # tile-coherent lane order (see camera.pixel_order): lane k renders
-    # pixel id order[k]; outputs are splatted back to pixel-id space
-    order = jnp.asarray(pixel_order(w, h))
-    px = order % w
-    py = order // w
-    mask_lanes = mask_pixels[order]
-    nspp = sample_hi - sample_lo
-
-    # one sub-wave per sample index (lax.scan: compiled once, constant
-    # shapes): keeps peak memory at P lanes and lets us accumulate
-    # per-sample squares for the variance test
-    def body(carry, j):
-        rad, rad2, hits, z = carry
-        kj = jax.random.fold_in(key, j)
-        o, d = primary_rays(scene, px, py, jnp.full_like(px, j), key=kj,
-                            halton_bases=(cfg.halton_base_x, cfg.halton_base_y),
-                            dof=scene.dof > 0)
-        out = render_wave(scene, cfg, o, d, order, mask_lanes,
-                          jax.random.fold_in(kj, 7), num_px, gi_grid=gi_grid)
-        rad = rad + out.radiance
-        rad2 = rad2 + out.radiance * out.radiance
-        hits = hits + out.hit_count
-        z = jnp.minimum(z, out.z_min)
-        return (rad, rad2, hits, z), None
-
+    num_px = scene.width * scene.height
     init = (jnp.zeros((num_px, 3), jnp.float32),
             jnp.zeros((num_px, 3), jnp.float32),
             jnp.zeros((num_px,), jnp.int32),
             jnp.full((num_px,), BIGFLOAT, jnp.float32))
-    (rad, rad2, hits, z), _ = jax.lax.scan(
-        body, init, jnp.arange(sample_lo, sample_hi))
-    return rad, rad2, hits, z
+    carry, _ = jax.lax.scan(
+        lambda c, j: (_wave_body(c, scene, cfg, mask_pixels, key, j,
+                                 gi_grid=gi_grid), None),
+        init, jnp.arange(sample_lo, sample_hi))
+    return carry
+
+
+def _wave_body(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
+               fused_consts=None):
+    """One sample wave for all pixels: lane k renders pixel order[k]
+    (tile-coherent order, camera.pixel_order), sample index j; results
+    are splatted back to pixel-id space and accumulated into carry."""
+    w, h = scene.width, scene.height
+    num_px = w * h
+    rad, rad2, hits, z = carry
+    order = jnp.asarray(pixel_order(w, h))
+    px = order % w
+    py = order // w
+    mask_lanes = mask_pixels[order]
+    kj = jax.random.fold_in(key, j)
+    o, d = primary_rays(scene, px, py, jnp.full_like(px, j), key=kj,
+                        halton_bases=(cfg.halton_base_x, cfg.halton_base_y),
+                        dof=scene.dof > 0)
+    inv_order = jnp.asarray(pixel_order_inv(w, h))
+    if fused_consts is not None:
+        from rtf_tpu.render.fused import fused_wave
+        seed32 = jax.random.randint(
+            jax.random.fold_in(kj, 7), (), 0, 2 ** 31 - 1)
+        lane_rad, hitl, zl = fused_wave(
+            cfg, fused_consts.obj, o, d, mask_lanes,
+            seed32.astype(jnp.int32))
+        out = WaveOutput(
+            radiance=lane_rad[inv_order],
+            hit_count=hitl[inv_order].astype(jnp.int32),
+            z_min=jnp.where(hitl, zl, jnp.float32(1.0e30))[inv_order])
+    else:
+        out = render_wave(scene, cfg, o, d, order, mask_lanes,
+                          jax.random.fold_in(kj, 7), num_px,
+                          gi_grid=gi_grid, inv_pixel=inv_order)
+    rad = rad + out.radiance
+    rad2 = rad2 + out.radiance * out.radiance
+    hits = hits + out.hit_count
+    z = jnp.minimum(z, out.z_min)
+    return (rad, rad2, hits, z)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "fused_consts"),
+                   donate_argnums=(0,))
+def _wave_step(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
+               fused_consts=None):
+    return _wave_body(carry, scene, cfg, mask_pixels, key, j,
+                      gi_grid=gi_grid, fused_consts=fused_consts)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _need_mask(cfg, rad, rad2, hits):
+    """Adaptive-AA refinement mask: per-pixel per-channel variance over
+    the HIT samples exceeds the threshold (colorlist semantics,
+    main.cpp:164-189: only hit samples enter the list)."""
+    cnt = jnp.maximum(hits, 1).astype(jnp.float32)[:, None]
+    mean = rad / cnt
+    var = rad2 / cnt - mean * mean
+    return (jnp.max(var, axis=-1) > cfg.variance_threshold) & (hits > 0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def render_device(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
-    """Full adaptive render on device. Returns (radiance[P,3], hits[P],
-    z[P], samples[P])."""
-    w, h = scene.width, scene.height
-    num_px = w * h
+    """Full adaptive render as ONE device program (lax.scan over sample
+    waves).  Used by the graft entry point; `render_device_host` is the
+    production path (same math, wave-at-a-time dispatch)."""
+    num_px = scene.width * scene.height
     all_px = jnp.ones((num_px,), bool)
 
     k1, k2 = jax.random.split(key)
@@ -90,18 +126,54 @@ def render_device(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
     nsamples = jnp.full((num_px,), cfg.min_samples, jnp.int32)
 
     if cfg.max_samples > cfg.min_samples:
-        # variance over the HIT samples of each pixel (colorlist semantics,
-        # main.cpp:164-189: only hit samples enter the list)
-        cnt = jnp.maximum(hits, 1).astype(jnp.float32)[:, None]
-        mean = rad / cnt
-        var = rad2 / cnt - mean * mean
-        need = (jnp.max(var, axis=-1) > cfg.variance_threshold) & (hits > 0)
+        need = _need_mask.__wrapped__(cfg, rad, rad2, hits)
         rad_b, _, hits_b, z_b = _wave_stats(
             scene, cfg, cfg.min_samples, cfg.max_samples, k2, need,
             gi_grid=gi_grid)
         rad = rad + rad_b
         hits = hits + hits_b
         z = jnp.minimum(z, z_b)
+        nsamples = nsamples + jnp.where(need, cfg.max_samples - cfg.min_samples, 0)
+
+    return rad, hits, z, nsamples
+
+
+def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
+    """Host-driven wave loop: ONE small compiled program (`_wave_step`)
+    reused for every sample index and both adaptive phases, with the
+    accumulator carry donated in place on device.
+
+    This replaces the reference's thread pool (main.cpp:984-998) AND the
+    monolithic lax.scan megaprogram: compile cost is one wave regardless
+    of spp, waves pipeline through the async dispatch queue, and spp can
+    change without recompiling."""
+    num_px = scene.width * scene.height
+    k1, k2 = jax.random.split(key)
+    carry = (jnp.zeros((num_px, 3), jnp.float32),
+             jnp.zeros((num_px, 3), jnp.float32),
+             jnp.zeros((num_px,), jnp.int32),
+             jnp.full((num_px,), BIGFLOAT, jnp.float32))
+    all_px = jnp.ones((num_px,), bool)
+
+    fused_consts = None
+    if gi_grid is None and jax.default_backend() == "tpu":
+        from rtf_tpu.render.fused import Frozen, fusable, scene_consts
+        if fusable(scene, cfg):
+            fused_consts = Frozen(scene_consts(scene))
+
+    for j in range(cfg.min_samples):
+        carry = _wave_step(carry, scene, cfg, all_px, k1, j, gi_grid=gi_grid,
+                           fused_consts=fused_consts)
+    rad, rad2, hits, z = carry
+    nsamples = jnp.full((num_px,), cfg.min_samples, jnp.int32)
+
+    if cfg.max_samples > cfg.min_samples:
+        need = _need_mask(cfg, rad, rad2, hits)
+        carry = (rad, rad2, hits, z)
+        for j in range(cfg.min_samples, cfg.max_samples):
+            carry = _wave_step(carry, scene, cfg, need, k2, j,
+                               gi_grid=gi_grid, fused_consts=fused_consts)
+        rad, rad2b, hits, z = carry
         nsamples = nsamples + jnp.where(need, cfg.max_samples - cfg.min_samples, 0)
 
     return rad, hits, z, nsamples
@@ -150,7 +222,7 @@ def render(scene, cfg: RenderConfig = RenderConfig(), seed: int = None,
     key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
     if cfg.gi_mode == "photon" and gi_grid is None:
         gi_grid = prepare_photon_grid(scene, cfg, key)
-    rad, hits, z, ns = render_device(scene, cfg, key, gi_grid=gi_grid)
+    rad, hits, z, ns = render_device_host(scene, cfg, key, gi_grid=gi_grid)
     return finalize(scene, cfg, rad, hits, z, ns)
 
 

@@ -76,6 +76,11 @@ class MeshArena:
     tri_packed: Optional[jnp.ndarray] = None
     # packed (Morton) face id -> arena face id
     tri_perm: Optional[jnp.ndarray] = None
+    # packed per-face attributes for one-gather surface reconstruction:
+    # attr_n [F,16]: cols 0-8 = vertex normals a/b/c, col 9 = material id
+    # attr_t [F,16]: cols 0-8 = vertex uvw a/b/c
+    attr_n: Optional[jnp.ndarray] = None
+    attr_t: Optional[jnp.ndarray] = None
     # per-tile culling AABBs, [sum nt, 8]
     tile_aabb: Optional[jnp.ndarray] = None
     # static per-slot (col0, fpad, aabb_row0, nt, (mesh_lo, mesh_hi))
@@ -347,15 +352,36 @@ class _Builder:
         slot_pack = []
         col0 = 0
         arow0 = 0
-        for fb, (a, b, c) in zip(
-                (r[0] for r in slot_faces), zip(tri["a"], tri["b"], tri["c"])):
-            p, perm, aabb, mb = pack_triangles(a, b, c)   # [16, F_pad]
+        for fb, (a, b, c, na, nb, nc, ta, tb, tc, fm) in zip(
+                (r[0] for r in slot_faces),
+                zip(tri["a"], tri["b"], tri["c"], tri["na"], tri["nb"],
+                    tri["nc"], tri["ta"], tri["tb"], tri["tc"], tri_mtl)):
+            p, perm, aabb, mb = pack_triangles(
+                a, b, c, na, nb, nc, ta, tb, tc, fm)   # [32, F_pad]
             packed_parts.append(p)
             perm_parts.append(perm + fb)   # packed id -> arena face id
             aabb_parts.append(aabb)
             slot_pack.append((col0, p.shape[1], arow0, aabb.shape[0], mb))
             col0 += p.shape[1]
             arow0 += aabb.shape[0]
+
+        na_ = np.concatenate(tri["na"]).astype(F32)
+        nb_ = np.concatenate(tri["nb"]).astype(F32)
+        nc_ = np.concatenate(tri["nc"]).astype(F32)
+        ta_ = np.concatenate(tri["ta"]).astype(F32)
+        tb_ = np.concatenate(tri["tb"]).astype(F32)
+        tc_ = np.concatenate(tri["tc"]).astype(F32)
+        mt_ = np.concatenate(tri_mtl).astype(F32)
+        nf_all = len(mt_)
+        attr_n = np.zeros((nf_all, 16), F32)
+        attr_n[:, 0:3] = na_
+        attr_n[:, 3:6] = nb_
+        attr_n[:, 6:9] = nc_
+        attr_n[:, 9] = mt_
+        attr_t = np.zeros((nf_all, 16), F32)
+        attr_t[:, 0:3] = ta_
+        attr_t[:, 3:6] = tb_
+        attr_t[:, 6:9] = tc_
 
         return MeshArena(
             tri_a=cat(tri["a"]), tri_b=cat(tri["b"]), tri_c=cat(tri["c"]),
@@ -370,6 +396,7 @@ class _Builder:
             slot_faces=tuple(slot_faces),
             tri_packed=jnp.asarray(np.concatenate(packed_parts, axis=1)),
             tri_perm=jnp.asarray(np.concatenate(perm_parts)),
+            attr_n=jnp.asarray(attr_n), attr_t=jnp.asarray(attr_t),
             tile_aabb=jnp.asarray(np.concatenate(aabb_parts, axis=0)),
             slot_pack=tuple(slot_pack),
         )
