@@ -61,6 +61,39 @@ def primary_rays(scene, px: jnp.ndarray, py: jnp.ndarray,
     return o, normalize(d_world)
 
 
+def primary_rays_ch(scene, px: jnp.ndarray, py: jnp.ndarray,
+                    sample_idx: jnp.ndarray, key=None,
+                    halton_bases=(2, 3), dof: bool = False):
+    """Channelwise primary_rays: same math, but every array stays 1-D
+    [N] (the TPU-friendly layout — [N,3] arrays use 3 of 128 vector
+    lanes).  Returns ((ox,oy,oz), (dx,dy,dz)) with d normalized."""
+    u, v, b = image_plane_params(scene)
+    sx = halton(sample_idx, halton_bases[0]) * u
+    sy = halton(sample_idx, halton_bases[1]) * v
+    cx = px.astype(jnp.float32) * u + b[0] + sx
+    cy = py.astype(jnp.float32) * v + b[1] + sy
+    cz = jnp.full_like(cx, b[2])
+
+    m = scene.cam_m
+    if dof and scene.dof > 0 and key is not None:
+        k1, k2 = jax.random.split(key)
+        r = jnp.sqrt(jax.random.uniform(k1, px.shape)) * scene.dof
+        ang = jax.random.uniform(k2, px.shape) * (2.0 * jnp.pi)
+        lx = r * jnp.cos(ang)
+        ly = r * jnp.sin(ang)
+        off = [m[i, 0] * lx + m[i, 1] * ly for i in range(3)]
+    else:
+        off = [jnp.zeros_like(cx) for _ in range(3)]
+
+    dw = [m[i, 0] * cx + m[i, 1] * cy + m[i, 2] * cz - off[i]
+          for i in range(3)]
+    inv = jax.lax.rsqrt(jnp.maximum(
+        dw[0] * dw[0] + dw[1] * dw[1] + dw[2] * dw[2], 1e-30))
+    d3 = tuple(dw[i] * inv for i in range(3))
+    o3 = tuple(scene.cam_pos[i] + off[i] for i in range(3))
+    return o3, d3
+
+
 def pixel_grid(width: int, height: int):
     """Flat [P] pixel coordinate arrays (row-major like the pixel iterator,
     main.cpp:71-78: x = i % W, y = i / W)."""

@@ -441,9 +441,25 @@ def _select_material(mtl_id, consts, field, dims=3):
 # the wave kernel: one bounce, everything fused
 
 
+def _rand01(seed_scalar, shape):
+    """Per-lane uniform [0,1) from an integer hash (xxhash-style mixer):
+    backend-independent (works compiled AND in interpret mode) and
+    deterministic given (per-block seed, lane)."""
+    s_ix = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    l_ix = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    idx = s_ix * jnp.uint32(TRI_LANES) + l_ix
+    x = idx * jnp.uint32(2654435761) ^ jnp.uint32(seed_scalar)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(2246822519)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(3266489917)
+    x = x ^ (x >> 16)
+    bits24 = pltpu.bitcast(x >> 8, jnp.int32)
+    return bits24.astype(jnp.float32) * (1.0 / 16777216.0)
+
+
 def _wave_kernel(seed_ref, rays_ref, out_ref, next_ref, st,
                  *, consts, cfg_c):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919)
     shape = (SUB, TRI_LANES)
     sh = rays_ref[0]                       # [16, 8, 128]
     alive_f = sh[R_ALIVE]
@@ -465,10 +481,10 @@ def _wave_kernel(seed_ref, rays_ref, out_ref, next_ref, st,
 
     @pl.when(any_alive)
     def _():
-        _wave_body(sh, out_ref, next_ref, st, consts, cfg_c)
+        _wave_body(sh, seed_ref[0], out_ref, next_ref, st, consts, cfg_c)
 
 
-def _wave_body(sh, out_ref, next_ref, st, consts, cfg_c):
+def _wave_body(sh, seed, out_ref, next_ref, st, consts, cfg_c):
     shape = (SUB, TRI_LANES)
     o3 = (sh[R_O], sh[R_O + 1], sh[R_O + 2])
     d3 = (sh[R_D], sh[R_D + 1], sh[R_D + 2])
@@ -617,9 +633,7 @@ def _wave_body(sh, out_ref, next_ref, st, consts, cfg_c):
     wr = jnp.where(r_go, (r_w[0] + r_w[1] + r_w[2]) * (1.0 / 3.0), 0.0)
     wt = jnp.where(t_go, (t_w[0] + t_w[1] + t_w[2]) * (1.0 / 3.0), 0.0)
     wsum = wr + wt
-    bits = pltpu.prng_random_bits(shape)
-    bits24 = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32)
-    u01 = bits24.astype(jnp.float32) * (1.0 / 16777216.0)
+    u01 = _rand01(seed, shape)
     u = u01 * jnp.maximum(wsum, 1e-30)
     take_r = ((u < wr) | (wt <= 0.0)) & (wr > 0.0)
     w_chosen = jnp.where(take_r, wr, wt)
@@ -683,6 +697,9 @@ def fused_bounce(cfg, consts, rays_sh, seed, interpret=None):
                  total_reflection_threshold=cfg.total_reflection_threshold,
                  color_threshold=cfg.color_threshold)
     kern = functools.partial(_wave_kernel, consts=consts, cfg_c=cfg_c)
+    # per-block seed (program_id is unavailable in interpret mode)
+    seeds = (jnp.int32(seed)
+             + jnp.arange(nblk, dtype=jnp.int32) * jnp.int32(7919))
     out, next_sh = pl.pallas_call(
         kern,
         grid=(nblk,),
@@ -691,38 +708,37 @@ def fused_bounce(cfg, consts, rays_sh, seed, interpret=None):
             jax.ShapeDtypeStruct((nblk, 16, SUB, TRI_LANES), jnp.float32),
         ],
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
             _blk4(16),
         ],
         out_specs=[_blk4(16), _blk4(16)],
         scratch_shapes=[pltpu.VMEM((6, SUB, TRI_LANES), jnp.float32)],
         interpret=interpret,
-    )(jnp.full((1,), seed, jnp.int32), rays_sh)
+    )(seeds, rays_sh)
     return out, next_sh
 
 
-def fused_wave(cfg, consts, o, d, alive, seed, bounces=None):
-    """Full wave: primary rays -> (radiance [n,3] per lane, hit [n],
-    z [n]).  Lane order is plain ray order (reshape-packed)."""
-    n0 = o.shape[0]
+def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None):
+    """Full wave: primary rays (channel tuples of [n0]) ->
+    ((r, g, b) channel arrays [n0], hit [n0], z [n0]).  Lane order is
+    plain ray order (reshape-packed; no transposes anywhere)."""
+    n0 = o3[0].shape[0]
     n = _pad_blocks(n0)
 
     def padded(x, fill=0.0):
         if x.shape[0] == n:
             return x
         return jnp.concatenate(
-            [x, jnp.full((n - n0,) + x.shape[1:], fill, x.dtype)])
+            [x, jnp.full((n - n0,), fill, x.dtype)])
 
     alive_f = padded(alive.astype(jnp.float32))
-    o_p = padded(jnp.where(alive[:, None], o, SENTINEL), SENTINEL)
-    d_p = padded(d, 1.0)
     one = jnp.ones((n,), jnp.float32)
-    rays_sh = _pack_rays_sh({
-        R_O: o_p[:, 0], R_O + 1: o_p[:, 1], R_O + 2: o_p[:, 2],
-        R_D: d_p[:, 0], R_D + 1: d_p[:, 1], R_D + 2: d_p[:, 2],
-        R_TPUT: one, R_TPUT + 1: one, R_TPUT + 2: one,
-        R_ALIVE: alive_f,
-    })
+    cols = {R_TPUT: one, R_TPUT + 1: one, R_TPUT + 2: one,
+            R_ALIVE: alive_f}
+    for c in range(3):
+        cols[R_O + c] = padded(jnp.where(alive, o3[c], SENTINEL), SENTINEL)
+        cols[R_D + c] = padded(d3[c], 1.0)
+    rays_sh = _pack_rays_sh(cols)
 
     nb = cfg.bounces if bounces is None else bounces
     lane_rad = jnp.zeros((n // BLOCK, 3, SUB, TRI_LANES), jnp.float32)
@@ -734,5 +750,5 @@ def fused_wave(cfg, consts, o, d, alive, seed, bounces=None):
         if b == 0:
             hit0 = out[:, 3].reshape(n)[:n0] > 0.0
             z0 = out[:, 4].reshape(n)[:n0]
-    rad = lane_rad.transpose(0, 2, 3, 1).reshape(n, 3)[:n0]
-    return rad, hit0, z0
+    rad3 = tuple(lane_rad[:, c].reshape(n)[:n0] for c in range(3))
+    return rad3, hit0, z0

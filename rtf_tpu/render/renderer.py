@@ -26,6 +26,7 @@ from rtf_tpu.core.math import BIGFLOAT
 from rtf_tpu.ops.texture import sample_background
 from rtf_tpu.render.camera import (
     pixel_grid, pixel_order, pixel_order_inv, primary_rays,
+    primary_rays_ch,
 )
 from rtf_tpu.render.config import RenderConfig
 from rtf_tpu.render.integrator import WaveOutput, render_wave
@@ -43,8 +44,8 @@ def _wave_stats(scene, cfg, sample_lo: int, sample_hi: int, key,
     """Trace samples [sample_lo, sample_hi) for all pixels; returns summed
     radiance, summed squares (for variance), hit counts, z."""
     num_px = scene.width * scene.height
-    init = (jnp.zeros((num_px, 3), jnp.float32),
-            jnp.zeros((num_px, 3), jnp.float32),
+    init = (jnp.zeros((3, num_px), jnp.float32),
+            jnp.zeros((3, num_px), jnp.float32),
             jnp.zeros((num_px,), jnp.int32),
             jnp.full((num_px,), BIGFLOAT, jnp.float32))
     carry, _ = jax.lax.scan(
@@ -67,29 +68,38 @@ def _wave_body(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
     py = order // w
     mask_lanes = mask_pixels[order]
     kj = jax.random.fold_in(key, j)
-    o, d = primary_rays(scene, px, py, jnp.full_like(px, j), key=kj,
-                        halton_bases=(cfg.halton_base_x, cfg.halton_base_y),
-                        dof=scene.dof > 0)
     inv_order = jnp.asarray(pixel_order_inv(w, h))
     if fused_consts is not None:
+        # fully channelwise: every array stays 1-D [N] or [3, P] so the
+        # TPU never touches a narrow-lane [N, 3] layout
         from rtf_tpu.render.fused import fused_wave
+        o3, d3 = primary_rays_ch(
+            scene, px, py, jnp.full_like(px, j), key=kj,
+            halton_bases=(cfg.halton_base_x, cfg.halton_base_y),
+            dof=scene.dof > 0)
         seed32 = jax.random.randint(
             jax.random.fold_in(kj, 7), (), 0, 2 ** 31 - 1)
-        lane_rad, hitl, zl = fused_wave(
-            cfg, fused_consts.obj, o, d, mask_lanes,
+        rad3, hitl, zl = fused_wave(
+            cfg, fused_consts.obj, o3, d3, mask_lanes,
             seed32.astype(jnp.int32))
-        out = WaveOutput(
-            radiance=lane_rad[inv_order],
-            hit_count=hitl[inv_order].astype(jnp.int32),
-            z_min=jnp.where(hitl, zl, jnp.float32(1.0e30))[inv_order])
+        contrib = jnp.stack([rad3[c][inv_order] for c in range(3)], axis=0)
+        hit_count = hitl[inv_order].astype(jnp.int32)
+        z_min = jnp.where(hitl, zl, jnp.float32(1.0e30))[inv_order]
     else:
+        o, d = primary_rays(scene, px, py, jnp.full_like(px, j), key=kj,
+                            halton_bases=(cfg.halton_base_x,
+                                          cfg.halton_base_y),
+                            dof=scene.dof > 0)
         out = render_wave(scene, cfg, o, d, order, mask_lanes,
                           jax.random.fold_in(kj, 7), num_px,
                           gi_grid=gi_grid, inv_pixel=inv_order)
-    rad = rad + out.radiance
-    rad2 = rad2 + out.radiance * out.radiance
-    hits = hits + out.hit_count
-    z = jnp.minimum(z, out.z_min)
+        contrib = out.radiance.T
+        hit_count = out.hit_count
+        z_min = out.z_min
+    rad = rad + contrib
+    rad2 = rad2 + contrib * contrib
+    hits = hits + hit_count
+    z = jnp.minimum(z, z_min)
     return (rad, rad2, hits, z)
 
 
@@ -106,10 +116,10 @@ def _need_mask(cfg, rad, rad2, hits):
     """Adaptive-AA refinement mask: per-pixel per-channel variance over
     the HIT samples exceeds the threshold (colorlist semantics,
     main.cpp:164-189: only hit samples enter the list)."""
-    cnt = jnp.maximum(hits, 1).astype(jnp.float32)[:, None]
+    cnt = jnp.maximum(hits, 1).astype(jnp.float32)[None, :]
     mean = rad / cnt
     var = rad2 / cnt - mean * mean
-    return (jnp.max(var, axis=-1) > cfg.variance_threshold) & (hits > 0)
+    return (jnp.max(var, axis=0) > cfg.variance_threshold) & (hits > 0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -149,8 +159,8 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
     change without recompiling."""
     num_px = scene.width * scene.height
     k1, k2 = jax.random.split(key)
-    carry = (jnp.zeros((num_px, 3), jnp.float32),
-             jnp.zeros((num_px, 3), jnp.float32),
+    carry = (jnp.zeros((3, num_px), jnp.float32),
+             jnp.zeros((3, num_px), jnp.float32),
              jnp.zeros((num_px,), jnp.int32),
              jnp.full((num_px,), BIGFLOAT, jnp.float32))
     all_px = jnp.ones((num_px,), bool)
@@ -181,11 +191,13 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
 
 def finalize(scene, cfg: RenderConfig, rad, hits, z, nsamples) -> RenderResult:
     """Average over hit samples, background for all-miss pixels, gamma +
-    byte conversion (main.cpp:309-338)."""
+    byte conversion (main.cpp:309-338).  `rad` arrives channel-major
+    [3, P] (the device-friendly layout) and is transposed once here."""
     w, h = scene.width, scene.height
     num_px = w * h
     px, py = pixel_grid(w, h)
 
+    rad = jnp.transpose(rad)
     cnt = jnp.maximum(hits, 1).astype(jnp.float32)[:, None]
     avg = rad / cnt
 
