@@ -481,7 +481,7 @@ def _wave_kernel(seed_ref, rays_ref, out_ref, next_ref, st,
 
     @pl.when(any_alive)
     def _():
-        _wave_body(sh, seed_ref[0], out_ref, next_ref, st, consts, cfg_c)
+        _wave_body(sh, seed_ref[0, 0], out_ref, next_ref, st, consts, cfg_c)
 
 
 def _wave_body(sh, seed, out_ref, next_ref, st, consts, cfg_c):
@@ -699,7 +699,8 @@ def fused_bounce(cfg, consts, rays_sh, seed, interpret=None):
     kern = functools.partial(_wave_kernel, consts=consts, cfg_c=cfg_c)
     # per-block seed (program_id is unavailable in interpret mode)
     seeds = (jnp.int32(seed)
-             + jnp.arange(nblk, dtype=jnp.int32) * jnp.int32(7919))
+             + jnp.arange(nblk, dtype=jnp.int32) * jnp.int32(7919)
+             ).reshape(nblk, 1)
     out, next_sh = pl.pallas_call(
         kern,
         grid=(nblk,),
@@ -708,7 +709,7 @@ def fused_bounce(cfg, consts, rays_sh, seed, interpret=None):
             jax.ShapeDtypeStruct((nblk, 16, SUB, TRI_LANES), jnp.float32),
         ],
         in_specs=[
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             _blk4(16),
         ],
         out_specs=[_blk4(16), _blk4(16)],
