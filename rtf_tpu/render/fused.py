@@ -459,7 +459,10 @@ def _rand01(seed_scalar, shape):
 
 
 def _wave_kernel(seed_ref, rays_ref, out_ref, next_ref, st,
-                 *, consts, cfg_c):
+                 *, consts, cfg_c, use_pid=True):
+    # per-block seed: program_id is unavailable in interpret mode, where
+    # a shared seed is acceptable (tests only)
+    seed = seed_ref[0, 0] + (pl.program_id(0) * 7919 if use_pid else 0)
     shape = (SUB, TRI_LANES)
     sh = rays_ref[0]                       # [16, 8, 128]
     alive_f = sh[R_ALIVE]
@@ -481,7 +484,7 @@ def _wave_kernel(seed_ref, rays_ref, out_ref, next_ref, st,
 
     @pl.when(any_alive)
     def _():
-        _wave_body(sh, seed_ref[0, 0], out_ref, next_ref, st, consts, cfg_c)
+        _wave_body(sh, seed, out_ref, next_ref, st, consts, cfg_c)
 
 
 def _wave_body(sh, seed, out_ref, next_ref, st, consts, cfg_c):
@@ -696,11 +699,9 @@ def fused_bounce(cfg, consts, rays_sh, seed, interpret=None):
                  env_on_reflect_miss=cfg.env_on_reflect_miss,
                  total_reflection_threshold=cfg.total_reflection_threshold,
                  color_threshold=cfg.color_threshold)
-    kern = functools.partial(_wave_kernel, consts=consts, cfg_c=cfg_c)
-    # per-block seed (program_id is unavailable in interpret mode)
-    seeds = (jnp.int32(seed)
-             + jnp.arange(nblk, dtype=jnp.int32) * jnp.int32(7919)
-             ).reshape(nblk, 1)
+    kern = functools.partial(_wave_kernel, consts=consts, cfg_c=cfg_c,
+                             use_pid=not interpret)
+    seeds = jnp.full((1, 1), seed, jnp.int32)
     out, next_sh = pl.pallas_call(
         kern,
         grid=(nblk,),
@@ -709,7 +710,7 @@ def fused_bounce(cfg, consts, rays_sh, seed, interpret=None):
             jax.ShapeDtypeStruct((nblk, 16, SUB, TRI_LANES), jnp.float32),
         ],
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             _blk4(16),
         ],
         out_specs=[_blk4(16), _blk4(16)],
