@@ -55,20 +55,19 @@ def _wave_stats(scene, cfg, sample_lo: int, sample_hi: int, key,
     return carry
 
 
-def _wave_body(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
+def _wave_body(carry, scene, cfg, mask_lanes, key, j, gi_grid=None,
                fused_consts=None):
-    """One sample wave for all pixels: lane k renders pixel order[k]
-    (tile-coherent order, camera.pixel_order), sample index j; results
-    are splatted back to pixel-id space and accumulated into carry."""
+    """One sample wave for all pixels, accumulated in LANE space (lane k
+    renders pixel order[k], camera.pixel_order).  Nothing in the wave
+    loop gathers or scatters; the lane->pixel conversion happens once
+    per render in `lanes_to_pixels`."""
     w, h = scene.width, scene.height
     num_px = w * h
     rad, rad2, hits, z = carry
     order = jnp.asarray(pixel_order(w, h))
     px = order % w
     py = order // w
-    mask_lanes = mask_pixels[order]
     kj = jax.random.fold_in(key, j)
-    inv_order = jnp.asarray(pixel_order_inv(w, h))
     if fused_consts is not None:
         # fully channelwise: every array stays 1-D [N] or [3, P] so the
         # TPU never touches a narrow-lane [N, 3] layout
@@ -82,10 +81,11 @@ def _wave_body(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
         rad3, hitl, zl = fused_wave(
             cfg, fused_consts.obj, o3, d3, mask_lanes,
             seed32.astype(jnp.int32))
-        contrib = jnp.stack([rad3[c][inv_order] for c in range(3)], axis=0)
-        hit_count = hitl[inv_order].astype(jnp.int32)
-        z_min = jnp.where(hitl, zl, jnp.float32(1.0e30))[inv_order]
+        contrib = jnp.stack(rad3, axis=0)
+        hit_count = hitl.astype(jnp.int32)
+        z_min = jnp.where(hitl, zl, jnp.float32(1.0e30))
     else:
+        inv_order = jnp.asarray(pixel_order_inv(w, h))
         o, d = primary_rays(scene, px, py, jnp.full_like(px, j), key=kj,
                             halton_bases=(cfg.halton_base_x,
                                           cfg.halton_base_y),
@@ -93,14 +93,25 @@ def _wave_body(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
         out = render_wave(scene, cfg, o, d, order, mask_lanes,
                           jax.random.fold_in(kj, 7), num_px,
                           gi_grid=gi_grid, inv_pixel=inv_order)
-        contrib = out.radiance.T
-        hit_count = out.hit_count
-        z_min = out.z_min
+        # back to lane space so both paths accumulate identically
+        contrib = out.radiance.T[:, order]
+        hit_count = out.hit_count[order]
+        z_min = out.z_min[order]
     rad = rad + contrib
     rad2 = rad2 + contrib * contrib
     hits = hits + hit_count
     z = jnp.minimum(z, z_min)
     return (rad, rad2, hits, z)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def lanes_to_pixels(rad, hits, z, nsamples, order):
+    """One-shot lane->pixel-id conversion (inverse of the tile order):
+    pixel p's accumulators live at lane inv[p], i.e. scatter by order."""
+    num_px = order.shape[0]
+    inv = jnp.zeros((num_px,), jnp.int32).at[order].set(
+        jnp.arange(num_px, dtype=jnp.int32))
+    return rad[:, inv], hits[inv], z[inv], nsamples[inv]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fused_consts"),
@@ -145,7 +156,8 @@ def render_device(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
         z = jnp.minimum(z, z_b)
         nsamples = nsamples + jnp.where(need, cfg.max_samples - cfg.min_samples, 0)
 
-    return rad, hits, z, nsamples
+    order = jnp.asarray(pixel_order(scene.width, scene.height))
+    return lanes_to_pixels.__wrapped__(rad, hits, z, nsamples, order)
 
 
 def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
@@ -171,6 +183,8 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
         if fusable(scene, cfg):
             fused_consts = Frozen(scene_consts(scene))
 
+    # the whole loop runs in LANE space (tile order); converted once at
+    # the end
     for j in range(cfg.min_samples):
         carry = _wave_step(carry, scene, cfg, all_px, k1, j, gi_grid=gi_grid,
                            fused_consts=fused_consts)
@@ -186,7 +200,8 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
         rad, rad2b, hits, z = carry
         nsamples = nsamples + jnp.where(need, cfg.max_samples - cfg.min_samples, 0)
 
-    return rad, hits, z, nsamples
+    order = jnp.asarray(pixel_order(scene.width, scene.height))
+    return lanes_to_pixels(rad, hits, z, nsamples, order)
 
 
 def finalize(scene, cfg: RenderConfig, rad, hits, z, nsamples) -> RenderResult:
