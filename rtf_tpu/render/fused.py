@@ -65,12 +65,14 @@ class Frozen:
     def __init__(self, obj):
         self.obj = obj
         self._key = repr(obj)
+        self._hash = hash(self._key)   # cache: the key can be ~100s of KB
 
     def __hash__(self):
-        return hash(self._key)
+        return self._hash
 
     def __eq__(self, other):
-        return isinstance(other, Frozen) and self._key == other._key
+        return (isinstance(other, Frozen) and self._hash == other._hash
+                and self._key == other._key)
 
 
 # ---------------------------------------------------------------------------

@@ -114,12 +114,22 @@ def lanes_to_pixels(rad, hits, z, nsamples, order):
     return rad[:, inv], hits[inv], z[inv], nsamples[inv]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "fused_consts"),
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "fused_consts", "nsub"),
                    donate_argnums=(0,))
 def _wave_step(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
-               fused_consts=None):
-    return _wave_body(carry, scene, cfg, mask_pixels, key, j,
-                      gi_grid=gi_grid, fused_consts=fused_consts)
+               fused_consts=None, nsub=1):
+    """nsub sample waves per dispatch (amortizes per-call host/tunnel
+    overhead; lax.scan keeps the compiled size at one wave)."""
+    if nsub == 1:
+        return _wave_body(carry, scene, cfg, mask_pixels, key, j,
+                          gi_grid=gi_grid, fused_consts=fused_consts)
+    carry, _ = jax.lax.scan(
+        lambda c, jj: (_wave_body(c, scene, cfg, mask_pixels, key, jj,
+                                  gi_grid=gi_grid,
+                                  fused_consts=fused_consts), None),
+        carry, j + jnp.arange(nsub))
+    return carry
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -184,19 +194,27 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
             fused_consts = Frozen(scene_consts(scene))
 
     # the whole loop runs in LANE space (tile order); converted once at
-    # the end
-    for j in range(cfg.min_samples):
-        carry = _wave_step(carry, scene, cfg, all_px, k1, j, gi_grid=gi_grid,
-                           fused_consts=fused_consts)
+    # the end.  Waves go out in batches of STEP per dispatch.
+    STEP = 8
+
+    def run(carry, mask, kphase, lo, hi):
+        j = lo
+        while j < hi:
+            k = min(STEP, hi - j)
+            carry = _wave_step(carry, scene, cfg, mask, kphase, j,
+                               gi_grid=gi_grid, fused_consts=fused_consts,
+                               nsub=k)
+            j += k
+        return carry
+
+    carry = run(carry, all_px, k1, 0, cfg.min_samples)
     rad, rad2, hits, z = carry
     nsamples = jnp.full((num_px,), cfg.min_samples, jnp.int32)
 
     if cfg.max_samples > cfg.min_samples:
         need = _need_mask(cfg, rad, rad2, hits)
         carry = (rad, rad2, hits, z)
-        for j in range(cfg.min_samples, cfg.max_samples):
-            carry = _wave_step(carry, scene, cfg, need, k2, j,
-                               gi_grid=gi_grid, fused_consts=fused_consts)
+        carry = run(carry, need, k2, cfg.min_samples, cfg.max_samples)
         rad, rad2b, hits, z = carry
         nsamples = nsamples + jnp.where(need, cfg.max_samples - cfg.min_samples, 0)
 
@@ -204,10 +222,10 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
     return lanes_to_pixels(rad, hits, z, nsamples, order)
 
 
-def finalize(scene, cfg: RenderConfig, rad, hits, z, nsamples) -> RenderResult:
-    """Average over hit samples, background for all-miss pixels, gamma +
-    byte conversion (main.cpp:309-338).  `rad` arrives channel-major
-    [3, P] (the device-friendly layout) and is transposed once here."""
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _finalize_device(scene, cfg: RenderConfig, rad, hits, z):
+    """Device part of finalize as ONE compiled program (eager jnp over
+    the tunneled backend costs ~30ms latency per op)."""
     w, h = scene.width, scene.height
     num_px = w * h
     px, py = pixel_grid(w, h)
@@ -230,7 +248,15 @@ def finalize(scene, cfg: RenderConfig, rad, hits, z, nsamples) -> RenderResult:
     else:
         avg_g = avg
     img8 = jnp.clip(jnp.floor(avg_g * 255.0), 0, 255).astype(jnp.uint8)
+    return img8, avg, zout
 
+
+def finalize(scene, cfg: RenderConfig, rad, hits, z, nsamples) -> RenderResult:
+    """Average over hit samples, background for all-miss pixels, gamma +
+    byte conversion (main.cpp:309-338).  `rad` arrives channel-major
+    [3, P] (the device-friendly layout)."""
+    w, h = scene.width, scene.height
+    img8, avg, zout = _finalize_device(scene, cfg, rad, hits, z)
     return RenderResult(
         image=np.asarray(img8).reshape(h, w, 3),
         radiance=np.asarray(avg).reshape(h, w, 3),
