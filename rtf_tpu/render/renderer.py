@@ -104,7 +104,7 @@ def _wave_body(carry, scene, cfg, mask_lanes, key, j, gi_grid=None,
     return (rad, rad2, hits, z)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+@jax.jit
 def lanes_to_pixels(rad, hits, z, nsamples, order):
     """One-shot lane->pixel-id conversion (inverse of the tile order):
     pixel p's accumulators live at lane inv[p], i.e. scatter by order."""
@@ -115,12 +115,15 @@ def lanes_to_pixels(rad, hits, z, nsamples, order):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "fused_consts", "nsub"),
-                   donate_argnums=(0,))
+                   static_argnames=("cfg", "fused_consts", "nsub"))
 def _wave_step(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
                fused_consts=None, nsub=1):
     """nsub sample waves per dispatch (amortizes per-call host/tunnel
-    overhead; lax.scan keeps the compiled size at one wave)."""
+    overhead; lax.scan keeps the compiled size at one wave).
+
+    NO buffer donation: on the tunneled TPU backend a donated argument
+    forces a synchronous round-trip per dispatch (~400ms), serializing
+    the wave pipeline — measured 6x slower than the extra copy."""
     if nsub == 1:
         return _wave_body(carry, scene, cfg, mask_pixels, key, j,
                           gi_grid=gi_grid, fused_consts=fused_consts)
