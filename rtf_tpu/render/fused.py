@@ -143,6 +143,68 @@ def scene_consts(scene):
         env=vec(scene.env_color), bg=vec(scene.bg_color))
 
 
+_CONSTS_CACHE = {}
+
+
+def frozen_consts(scene) -> "Frozen":
+    """Per-scene cache of Frozen(scene_consts(scene)).
+
+    scene_consts pulls dozens of device arrays to the host; on the
+    tunneled backend that costs seconds, so it must happen once per
+    scene, not once per frame."""
+    import weakref
+    k = id(scene)
+    ent = _CONSTS_CACHE.get(k)
+    if ent is not None and ent[0]() is scene:
+        return ent[1]
+    fz = Frozen(scene_consts(scene))
+    try:
+        ref = weakref.ref(scene)
+    except TypeError:
+        ref = (lambda s=scene: s)
+    _CONSTS_CACHE[k] = (ref, fz)
+    return fz
+
+
+_FUSE_INFO_CACHE = {}
+
+
+def _scene_fuse_info(scene) -> bool:
+    """Cached scene-side fusability facts (touches device arrays)."""
+    import weakref
+    k = id(scene)
+    ent = _FUSE_INFO_CACHE.get(k)
+    if ent is not None and ent[0]() is scene:
+        return ent[1]
+    ok = True
+    if scene.bg_tm >= 0 or scene.env_tm >= 0:
+        ok = False
+    mt = scene.materials
+    if ok:
+        for tm in (mt.diffuse_tm, mt.specular_tm, mt.emission_tm,
+                   mt.reflection_tm, mt.refraction_tm):
+            if int(np.asarray(tm).max(initial=-1)) >= 0:
+                ok = False
+                break
+    if ok and float(np.asarray(mt.refl_gloss).max(initial=0.0)) > 0:
+        ok = False
+    if ok and float(np.asarray(mt.refr_gloss).max(initial=0.0)) > 0:
+        ok = False
+    if ok and sum(1 for kk in scene.light_kinds if kk != "ambient") > 2:
+        ok = False
+    if ok and scene.mesh is not None \
+            and scene.mesh.tri_a.shape[0] > MAX_FACES:
+        ok = False
+    if ok and scene.materials.diffuse.shape[0] > 16:
+        ok = False
+    try:
+        ref = weakref.ref(scene)
+    except TypeError:
+        ref = (lambda s=scene: s)
+    _FUSE_INFO_CACHE[k] = (ref, ok)
+    return ok
+
+
 def fusable(scene, cfg) -> bool:
     """Can this scene+config run on the fused path?"""
     if cfg.gi_mode != "none":
@@ -151,24 +213,7 @@ def fusable(scene, cfg) -> bool:
         return False
     if scene.any_soft_light or cfg.shadow_min != 1:
         return False
-    if scene.bg_tm >= 0 or scene.env_tm >= 0:
-        return False
-    mt = scene.materials
-    for tm in (mt.diffuse_tm, mt.specular_tm, mt.emission_tm,
-               mt.reflection_tm, mt.refraction_tm):
-        if int(np.asarray(tm).max(initial=-1)) >= 0:
-            return False
-    if float(np.asarray(mt.refl_gloss).max(initial=0.0)) > 0:
-        return False
-    if float(np.asarray(mt.refr_gloss).max(initial=0.0)) > 0:
-        return False
-    if sum(1 for k in scene.light_kinds if k != "ambient") > 2:
-        return False
-    if scene.mesh is not None and scene.mesh.tri_a.shape[0] > MAX_FACES:
-        return False
-    if scene.materials.diffuse.shape[0] > 16:
-        return False
-    return True
+    return _scene_fuse_info(scene)
 
 
 # ---------------------------------------------------------------------------

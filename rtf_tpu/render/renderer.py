@@ -192,9 +192,9 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
 
     fused_consts = None
     if gi_grid is None and jax.default_backend() == "tpu":
-        from rtf_tpu.render.fused import Frozen, fusable, scene_consts
+        from rtf_tpu.render.fused import frozen_consts, fusable
         if fusable(scene, cfg):
-            fused_consts = Frozen(scene_consts(scene))
+            fused_consts = frozen_consts(scene)
 
     # the whole loop runs in LANE space (tile order); converted once at
     # the end.  Waves go out in batches of STEP per dispatch.
