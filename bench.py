@@ -33,18 +33,22 @@ def main():
 
     import numpy as np
 
+    import jax.numpy as jnp
+
     key = jax.random.PRNGKey(0)
     # warmup / compile; fetch to host — on the experimental axon platform
     # block_until_ready can return before execution completes, so a
-    # device->host transfer is the only honest fence.
+    # device->host transfer is the only honest fence.  The finiteness
+    # check runs ON DEVICE so the fence transfer stays tiny (the tunnel
+    # moves ~35 MB/s; pulling the full framebuffer is not rendering).
     out = render_device_host(scene, cfg, key)
-    np.asarray(out[0])
+    np.asarray(jnp.isfinite(out[0]).all())
 
     t0 = time.perf_counter()
     out = render_device_host(scene, cfg, jax.random.PRNGKey(1))
-    host = np.asarray(out[0])
+    finite = bool(np.asarray(jnp.isfinite(out[0]).all()))
     dt = time.perf_counter() - t0
-    assert np.isfinite(host).all()
+    assert finite
 
     # primary + shadow rays actually traced: 1 primary + 1 hard-shadow ray
     # per sample (bounce-queue rays are extra, uncounted — conservative)
