@@ -505,15 +505,17 @@ def _rand01(seed_scalar, shape):
     return bits24.astype(jnp.float32) * (1.0 / 16777216.0)
 
 
-def _wave_kernel(seed_ref, rays_ref, out_ref, next_ref, st,
-                 *, consts, cfg_c, use_pid=True):
+def _wave_kernel(seed_ref, rays_ref, out_ref, st,
+                 *, consts, cfg_c, nbounce, use_pid=True):
+    """The whole wave (all bounces) in one launch: ray state lives in
+    registers across the lax.fori_loop, so there is no queue traffic at
+    all — HBM sees primary rays in and radiance out."""
     # per-block seed: program_id is unavailable in interpret mode, where
     # a shared seed is acceptable (tests only)
-    seed = seed_ref[0, 0] + (pl.program_id(0) * 7919 if use_pid else 0)
+    seed0 = seed_ref[0, 0] + (pl.program_id(0) * 7919 if use_pid else 0)
     shape = (SUB, TRI_LANES)
     sh = rays_ref[0]                       # [16, 8, 128]
-    alive_f = sh[R_ALIVE]
-    any_alive = jnp.max(alive_f) > 0.0
+    any_alive = jnp.max(sh[R_ALIVE]) > 0.0
 
     @pl.when(~any_alive)
     def _():
@@ -521,27 +523,47 @@ def _wave_kernel(seed_ref, rays_ref, out_ref, next_ref, st,
         for r in range(16):
             out_ref[0, r] = jnp.full(shape, BIG, jnp.float32) if r == 4 \
                 else zero
-        for r in range(16):
-            if r in (R_O, R_O + 1, R_O + 2):
-                next_ref[0, r] = jnp.full(shape, SENTINEL, jnp.float32)
-            elif r == R_D:
-                next_ref[0, r] = jnp.ones(shape, jnp.float32)
-            else:
-                next_ref[0, r] = zero
 
     @pl.when(any_alive)
     def _():
-        _wave_body(sh, seed, out_ref, next_ref, st, consts, cfg_c)
+        state = (sh[R_O], sh[R_O + 1], sh[R_O + 2],
+                 sh[R_D], sh[R_D + 1], sh[R_D + 2],
+                 sh[R_TPUT], sh[R_TPUT + 1], sh[R_TPUT + 2],
+                 sh[R_ABS], sh[R_ABS + 1], sh[R_ABS + 2],
+                 sh[R_ALIVE], sh[R_RTYPE])
+        zero = jnp.zeros(shape, jnp.float32)
+        acc = (zero, zero, zero, zero, jnp.full(shape, BIG, jnp.float32))
+
+        def bounce(b, carry):
+            state, acc = carry
+            rad3, hitf, tz, state = _bounce_core(
+                state, seed0 + b * 101, st, consts, cfg_c)
+            first = b == 0
+            acc = (acc[0] + rad3[0], acc[1] + rad3[1], acc[2] + rad3[2],
+                   jnp.where(first, hitf, acc[3]),
+                   jnp.where(first, tz, acc[4]))
+            return (state, acc)
+
+        _, acc = jax.lax.fori_loop(0, nbounce, bounce, (state, acc))
+        out_ref[0, 0] = acc[0]
+        out_ref[0, 1] = acc[1]
+        out_ref[0, 2] = acc[2]
+        out_ref[0, 3] = acc[3]
+        out_ref[0, 4] = acc[4]
+        for extra in range(5, 16):
+            out_ref[0, extra] = zero
 
 
-def _wave_body(sh, seed, out_ref, next_ref, st, consts, cfg_c):
+def _bounce_core(state, seed, st, consts, cfg_c):
+    """One bounce on register-resident ray state; returns
+    (rad3, hit flag, z, next state)."""
     shape = (SUB, TRI_LANES)
-    o3 = (sh[R_O], sh[R_O + 1], sh[R_O + 2])
-    d3 = (sh[R_D], sh[R_D + 1], sh[R_D + 2])
-    tput = (sh[R_TPUT], sh[R_TPUT + 1], sh[R_TPUT + 2])
-    absorb = (sh[R_ABS], sh[R_ABS + 1], sh[R_ABS + 2])
-    alive = sh[R_ALIVE] > 0.0
-    rtype = sh[R_RTYPE]
+    o3 = state[0:3]
+    d3 = state[3:6]
+    tput = state[6:9]
+    absorb = state[9:12]
+    alive = state[12] > 0.0
+    rtype = state[13]
 
     # ---- closest hit: mesh (culled immediates) then primitives ----------
     _mesh_closest(o3, d3, consts, st, jnp.float32(BIG))
@@ -636,13 +658,8 @@ def _wave_body(sh, seed, out_ref, next_ref, st, consts, cfg_c):
         rad[c] = rad[c] + jnp.where(env_mask,
                                     tput[c] * consts["env"][c], 0.0)
 
-    out_ref[0, 0] = rad[0]
-    out_ref[0, 1] = rad[1]
-    out_ref[0, 2] = rad[2]
-    out_ref[0, 3] = jnp.where(hit, 1.0, 0.0)
-    out_ref[0, 4] = jnp.where(hit, t, BIG)
-    for extra in range(5, 16):
-        out_ref[0, extra] = jnp.zeros(shape, jnp.float32)
+    hitf = jnp.where(hit, 1.0, 0.0)
+    tz = jnp.where(hit, t, BIG)
 
     # ---- Fresnel split (fresnel_split, main.cpp:577-610) ----------------
     eta = jnp.where(frontb, 1.0 / ior, ior)
@@ -694,21 +711,24 @@ def _wave_body(sh, seed, out_ref, next_ref, st, consts, cfg_c):
     cdy = jnp.where(take_r, rdy, tdy)
     cdz = jnp.where(take_r, rdz, tdz)
     cox, coy, coz = _offset_origin(px, py, pz, nx, ny, nz, cdx, cdy, cdz)
-    next_ref[0, R_O + 0] = jnp.where(child_alive, cox, SENTINEL)
-    next_ref[0, R_O + 1] = jnp.where(child_alive, coy, SENTINEL)
-    next_ref[0, R_O + 2] = jnp.where(child_alive, coz, SENTINEL)
-    next_ref[0, R_D + 0] = jnp.where(child_alive, cdx, 1.0)
-    next_ref[0, R_D + 1] = jnp.where(child_alive, cdy, 0.0)
-    next_ref[0, R_D + 2] = jnp.where(child_alive, cdz, 0.0)
-    for c in range(3):
-        childw = jnp.where(take_r, r_w[c], t_w[c]) * scale
-        next_ref[0, R_TPUT + c] = jnp.where(child_alive, childw, 0.0)
-        next_ref[0, R_ABS + c] = jnp.where(child_alive, m_abs[c], 0.0)
-    next_ref[0, R_ALIVE] = jnp.where(child_alive, 1.0, 0.0)
-    next_ref[0, R_RTYPE] = jnp.where(take_r, float(RT_REFLECT),
-                                     float(RT_REFRACT))
-    next_ref[0, 14] = jnp.zeros(shape, jnp.float32)
-    next_ref[0, 15] = jnp.zeros(shape, jnp.float32)
+    childw = [jnp.where(child_alive,
+                        jnp.where(take_r, r_w[c], t_w[c]) * scale, 0.0)
+              for c in range(3)]
+    next_state = (
+        jnp.where(child_alive, cox, SENTINEL),
+        jnp.where(child_alive, coy, SENTINEL),
+        jnp.where(child_alive, coz, SENTINEL),
+        jnp.where(child_alive, cdx, 1.0),
+        jnp.where(child_alive, cdy, 0.0),
+        jnp.where(child_alive, cdz, 0.0),
+        childw[0], childw[1], childw[2],
+        jnp.where(child_alive, m_abs[0], 0.0),
+        jnp.where(child_alive, m_abs[1], 0.0),
+        jnp.where(child_alive, m_abs[2], 0.0),
+        jnp.where(child_alive, 1.0, 0.0),
+        jnp.where(take_r, float(RT_REFLECT), float(RT_REFRACT)),
+    )
+    return (rad[0], rad[1], rad[2]), hitf, tz, next_state
 
 
 # ---------------------------------------------------------------------------
@@ -735,44 +755,13 @@ def _pack_rays_sh(cols):
     return jnp.concatenate(rows, axis=1)
 
 
-def fused_bounce(cfg, consts, rays_sh, seed, interpret=None):
-    """One fully-fused bounce.  rays_sh [nblk,16,8,128] ->
-    (out [nblk,16,8,128]: rgb, hit, z; next_sh same shape)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    nblk = rays_sh.shape[0]
-    cfg_c = dict(light_average=cfg.light_average,
-                 inverse_square=cfg.inverse_square,
-                 env_on_reflect_miss=cfg.env_on_reflect_miss,
-                 total_reflection_threshold=cfg.total_reflection_threshold,
-                 color_threshold=cfg.color_threshold)
-    kern = functools.partial(_wave_kernel, consts=consts, cfg_c=cfg_c,
-                             use_pid=not interpret)
-    seeds = jnp.full((1, 1), seed, jnp.int32)
-    out, next_sh = pl.pallas_call(
-        kern,
-        grid=(nblk,),
-        out_shape=[
-            jax.ShapeDtypeStruct((nblk, 16, SUB, TRI_LANES), jnp.float32),
-            jax.ShapeDtypeStruct((nblk, 16, SUB, TRI_LANES), jnp.float32),
-        ],
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            _blk4(16),
-        ],
-        out_specs=[_blk4(16), _blk4(16)],
-        scratch_shapes=[pltpu.VMEM((6, SUB, TRI_LANES), jnp.float32)],
-        interpret=interpret,
-    )(seeds, rays_sh)
-    return out, next_sh
-
-
 def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None):
     """Full wave: primary rays (channel tuples of [n0]) ->
-    ((r, g, b) channel arrays [n0], hit [n0], z [n0]).  Lane order is
-    plain ray order (reshape-packed; no transposes anywhere)."""
+    ((r, g, b) channel arrays [n0], hit [n0], z [n0]).  ONE kernel launch
+    runs all bounces; lane order is plain ray order (reshape-packed)."""
     n0 = o3[0].shape[0]
     n = _pad_blocks(n0)
+    interpret = jax.default_backend() != "tpu"
 
     def padded(x, fill=0.0):
         if x.shape[0] == n:
@@ -790,14 +779,30 @@ def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None):
     rays_sh = _pack_rays_sh(cols)
 
     nb = cfg.bounces if bounces is None else bounces
-    lane_rad = jnp.zeros((n // BLOCK, 3, SUB, TRI_LANES), jnp.float32)
-    hit0 = None
-    z0 = None
-    for b in range(nb + 1):
-        out, rays_sh = fused_bounce(cfg, consts, rays_sh, seed + b * 101)
-        lane_rad = lane_rad + out[:, 0:3]
-        if b == 0:
-            hit0 = out[:, 3].reshape(n)[:n0] > 0.0
-            z0 = out[:, 4].reshape(n)[:n0]
-    rad3 = tuple(lane_rad[:, c].reshape(n)[:n0] for c in range(3))
+    nblk = n // BLOCK
+    cfg_c = dict(light_average=cfg.light_average,
+                 inverse_square=cfg.inverse_square,
+                 env_on_reflect_miss=cfg.env_on_reflect_miss,
+                 total_reflection_threshold=cfg.total_reflection_threshold,
+                 color_threshold=cfg.color_threshold)
+    kern = functools.partial(_wave_kernel, consts=consts, cfg_c=cfg_c,
+                             nbounce=nb + 1, use_pid=not interpret)
+    seeds = jnp.full((1, 1), seed, jnp.int32)
+    out = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        out_shape=jax.ShapeDtypeStruct((nblk, 16, SUB, TRI_LANES),
+                                       jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            _blk4(16),
+        ],
+        out_specs=_blk4(16),
+        scratch_shapes=[pltpu.VMEM((6, SUB, TRI_LANES), jnp.float32)],
+        interpret=interpret,
+    )(seeds, rays_sh)
+
+    rad3 = tuple(out[:, c].reshape(n)[:n0] for c in range(3))
+    hit0 = out[:, 3].reshape(n)[:n0] > 0.0
+    z0 = out[:, 4].reshape(n)[:n0]
     return rad3, hit0, z0
