@@ -1,0 +1,73 @@
+"""Golden-image comparison against the reference's committed renders.
+
+The reference repo ships the output PNG of each project next to its
+scene (SURVEY.md section 4 — they are the de-facto regression baseline).
+This tool renders the same scene with rtf_tpu at the same resolution and
+profile and reports per-pixel RMSE (BASELINE.json asks <= 1e-3 RMSE for
+deterministic configs; stochastic configs are looser because the
+reference RNG differs).
+
+Usage:  python -m tools.golden [name ...]     (default: all)
+"""
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import numpy as np
+
+REF = "/root/reference"
+
+# name -> (scene xml, golden png, profile name, overrides)
+CASES = {
+    # Proj5: deterministic Whitted (1 spp, no RNG anywhere): tight bound
+    "prj5": (f"{REF}/RayTracingProj5/RayTracingProj5/scene.xml",
+             f"{REF}/RayTracingProj5/RayTracingProj5/prj5input.png",
+             "proj5", {}),
+    # Proj7: + textures (file + checker), still deterministic
+    "prj7": (f"{REF}/RayTracingProj7/RayTracingProj7/scene.xml",
+             f"{REF}/RayTracingProj7/RayTracingProj7/prj7.png",
+             "proj5", {}),
+    # Proj8: adaptive AA (Halton subpixels deterministic, but sample
+    # escalation differs) — loose
+    "prj8": (f"{REF}/RayTracingProj8/RayTracingProj8/scene.xml",
+             f"{REF}/RayTracingProj8/RayTracingProj8/prj8_16sample.png",
+             "proj8", {}),
+    # Proj13 box: Monte-Carlo GI — loose (different RNG)
+    "prj13box": (f"{REF}/RayTracingProj13/RayTracingProj13/scene.xml",
+                 f"{REF}/RayTracingProj13/prj13box.png",
+                 "proj11", {"min_samples": 16, "max_samples": 16}),
+}
+
+
+def run(name):
+    from rtf_tpu.render.config import PROFILES
+    from rtf_tpu.render.renderer import render
+    from rtf_tpu.scene import build_scene, load_scene
+    from rtf_tpu.utils.image import rmse
+    from rtf_tpu.utils.png import read_png, write_png
+
+    xml, golden_png, profile, over = CASES[name]
+    golden = read_png(golden_png)
+    h, w = golden.shape[:2]
+    desc = load_scene(xml)
+    desc.camera.width, desc.camera.height = w, h
+    scene = build_scene(desc)
+    cfg = PROFILES[profile]
+    if over:
+        cfg = dataclasses.replace(cfg, **over)
+    res = render(scene, cfg)
+    out = f"/tmp/golden_{name}.png"
+    write_png(out, res.image)
+    err = rmse(res.image, golden[:, :, :3])
+    print(f"{name}: RMSE {err:.5f} vs {golden_png}  (ours: {out})")
+    return err
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(CASES)
+    for n in names:
+        try:
+            run(n)
+        except Exception as e:  # keep going; report per case
+            print(f"{n}: FAILED {type(e).__name__}: {e}")
