@@ -27,9 +27,10 @@ The design is shaped by three measured properties of the target:
   total and fully-dead blocks skip everything.
 
 Coverage (gated by `fusable()`): untextured materials, ambient/direct/
-point lights (hard shadows, <=2 shadow casters), solid background/env,
-gi_mode none, 'rr' split, total mesh arena <= 512 faces (immediates).
-Everything else falls back to the XLA path.
+point lights (<=2 shadow casters; point lights with size > 0 get
+fixed-count soft shadows via in-kernel disk sampling), solid
+background/env, gi_mode none, 'rr' split, total mesh arena <= 512 faces
+(immediates).  Everything else falls back to the XLA path.
 
 Reference semantics preserved: MtlBlinn::Shade direct+Fresnel structure
 (Final/main.cpp:516-638), GenLight::Shadow bias/t_max (main.cpp:499-513),
@@ -210,8 +211,6 @@ def fusable(scene, cfg) -> bool:
     if cfg.gi_mode != "none":
         return False
     if cfg.resolved_split_mode() != "rr":
-        return False
-    if scene.any_soft_light or cfg.shadow_min != 1:
         return False
     return _scene_fuse_info(scene)
 
@@ -627,20 +626,51 @@ def _bounce_core(state, seed, st, consts, cfg_c):
         cos_nh = jnp.maximum(0.0, nx * hx_ + ny * hy_ + nz * hz_)
         spec = jnp.power(cos_nh, gloss)
 
-        # shadow ray (GenLight::Shadow, main.cpp:499-513)
-        sox, soy, soz = _offset_origin(px, py, pz, nx, ny, nz,
-                                       sdx, sdy, sdz)
-        sox = jnp.where(hit, sox, SENTINEL)
-        soy = jnp.where(hit, soy, SENTINEL)
-        soz = jnp.where(hit, soz, SENTINEL)
-        # closest-hit state (st rows 0-5) is fully consumed by now;
-        # reuse row 0 as the shadow-occlusion accumulator
-        st[0] = jnp.zeros(shape, jnp.float32)
-        _mesh_anyhit((sox, soy, soz), (sdx, sdy, sdz), tmax_v,
-                     consts, st, 0)
-        occ = _primitive_anyhit((sox, soy, soz), (sdx, sdy, sdz), tmax_v,
-                                st[0], consts)
-        vis = 1.0 - occ
+        # shadow ray (GenLight::Shadow, main.cpp:499-513); for point
+        # lights with size > 0, soft shadows by averaging a fixed number
+        # of disk samples of the light sphere (lights.h:92-107; the disk
+        # basis rule at lights.h:74-88)
+        nsamp = 1
+        if lt["kind"] == "point" and lt["size"] > 0.0:
+            nsamp = max(int(cfg_c["shadow_samples"]), 1)
+        vis = jnp.zeros(shape, jnp.float32)
+        for si in range(nsamp):
+            if nsamp == 1:
+                tdx_s, tdy_s, tdz_s = sdx, sdy, sdz
+            else:
+                # disk basis around the (per-lane) light direction
+                ux, uy, uz = _norm3(sdx, sdy, sdz)
+                use_y = ux > 0.8
+                v1x = jnp.where(use_y, uz, 0.0 * ux)
+                v1y = jnp.where(use_y, 0.0 * ux, uz)
+                v1z = jnp.where(use_y, -ux, -uy)
+                v1x, v1y, v1z = _norm3(v1x, v1y, v1z)
+                v2x = v1y * uz - v1z * uy
+                v2y = v1z * ux - v1x * uz
+                v2z = v1x * uy - v1y * ux
+                r = jnp.sqrt(_rand01(seed + 811 * si + 17, shape)) \
+                    * lt["size"]
+                ang = _rand01(seed + 811 * si + 631, shape) \
+                    * (2.0 * np.pi)
+                offx = v1x * r * jnp.cos(ang) + v2x * r * jnp.sin(ang)
+                offy = v1y * r * jnp.cos(ang) + v2y * r * jnp.sin(ang)
+                offz = v1z * r * jnp.cos(ang) + v2z * r * jnp.sin(ang)
+                tdx_s, tdy_s, tdz_s = sdx + offx, sdy + offy, sdz + offz
+            sox, soy, soz = _offset_origin(px, py, pz, nx, ny, nz,
+                                           tdx_s, tdy_s, tdz_s)
+            sox = jnp.where(hit, sox, SENTINEL)
+            soy = jnp.where(hit, soy, SENTINEL)
+            soz = jnp.where(hit, soz, SENTINEL)
+            # closest-hit state (st rows 0-5) is fully consumed by now;
+            # reuse row 0 as the shadow-occlusion accumulator
+            st[0] = jnp.zeros(shape, jnp.float32)
+            _mesh_anyhit((sox, soy, soz), (tdx_s, tdy_s, tdz_s), tmax_v,
+                         consts, st, 0)
+            occ = _primitive_anyhit((sox, soy, soz),
+                                    (tdx_s, tdy_s, tdz_s), tmax_v,
+                                    st[0], consts)
+            vis = vis + (1.0 - occ)
+        vis = vis * (1.0 / nsamp)
         for c in range(3):
             lit_c = ((kd[c] + ks[c] * spec) * inten[c] * coef * inv_r2
                      * cos_nl)
@@ -784,7 +814,11 @@ def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None):
                  inverse_square=cfg.inverse_square,
                  env_on_reflect_miss=cfg.env_on_reflect_miss,
                  total_reflection_threshold=cfg.total_reflection_threshold,
-                 color_threshold=cfg.color_threshold)
+                 color_threshold=cfg.color_threshold,
+                 # soft shadows: fixed at the reference's escalated count
+                 # (lights.h:17-18; the adaptive 4->16 scheme escalates
+                 # penumbra lanes to max anyway)
+                 shadow_samples=cfg.shadow_max)
     kern = functools.partial(_wave_kernel, consts=consts, cfg_c=cfg_c,
                              nbounce=nb + 1, use_pid=not interpret)
     seeds = jnp.full((1, 1), seed, jnp.int32)
