@@ -267,12 +267,12 @@ def _box_overlap(rlo, rhi, lo, hi):
 def _mesh_closest(o3, d3, consts, st, t_cap_scalar):
     """Closest mesh hit over all instances: per-(block, tile) and
     per-(block, triangle) immediate-AABB culling, winner state in the st
-    scratch ([6, 8, 128]: t, nx, ny, nz, mtl, front; world normal)."""
-    shape = o3[0].shape
-    st[0] = jnp.full(shape, BIG, jnp.float32)
-    for r in range(1, 6):
-        st[r] = jnp.zeros(shape, jnp.float32)
+    scratch ([6, 8, 128]: t, nx, ny, nz, mtl, front; world normal).
 
+    The CALLER seeds st with the best hit so far (e.g. the primitive
+    phase) and passes t_cap_scalar = the block's largest useful t; the
+    reach boxes shrink accordingly (in a closed box scene every primary
+    ray is bounded by a wall, which culls everything behind it)."""
     for inst in consts["mesh_insts"]:
         lo3 = _mat3_apply_const(inst["itm"],
                                 o3[0] - inst["pos"][0],
@@ -341,6 +341,7 @@ def _mesh_anyhit(o3, d3, t_cap, consts, st, row):
                                 inst["mesh_lo"], inst["mesh_hi"])
         for (tile_bb, tris) in inst["tiles"]:
             tile_ov = _box_overlap(rlo, rhi, tile_bb[0:3], tile_bb[3:6])
+            tile_ov &= jnp.min(st[row]) < 1.0   # all occluded -> done
 
             @pl.when(tile_ov)
             def _(tris=tris, lo3=lo3, ld3=ld3, rlo=rlo, rhi=rhi):
@@ -564,10 +565,21 @@ def _bounce_core(state, seed, st, consts, cfg_c):
     alive = state[12] > 0.0
     rtype = state[13]
 
-    # ---- closest hit: mesh (culled immediates) then primitives ----------
-    _mesh_closest(o3, d3, consts, st, jnp.float32(BIG))
-    t, n3, mtl, front = _primitive_phase(
-        o3, d3, st[0], (st[1], st[2], st[3]), st[4], st[5], consts)
+    # ---- closest hit: primitives FIRST (cheap), then the mesh with the
+    # primitive distances as per-lane caps and their block max as the
+    # reach bound (tightens triangle culling dramatically in closed
+    # scenes) -------------------------------------------------------------
+    zero = jnp.zeros(shape, jnp.float32)
+    t_p, n3_p, mtl_p, front_p = _primitive_phase(
+        o3, d3, jnp.full(shape, BIG, jnp.float32), (zero, zero, zero),
+        zero, zero, consts)
+    st[0] = t_p
+    st[1], st[2], st[3] = n3_p
+    st[4] = mtl_p
+    st[5] = front_p
+    _mesh_closest(o3, d3, consts, st, jnp.max(t_p))
+    t, n3 = st[0], (st[1], st[2], st[3])
+    mtl, front = st[4], st[5]
     hit = alive & (t < BIG)
     nx, ny, nz = _norm3(*n3)
     frontb = front > 0.5
