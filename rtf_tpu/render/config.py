@@ -96,7 +96,11 @@ PROFILES = {
     # Proj12: path tracing — 1 indirect sample per bounce, many AA samples
     "proj12": RenderConfig(min_samples=4, max_samples=16, bounces=8,
                            gi_mode="pathtrace", hemisphere_samples=1),
-    # Proj13 / Final: hybrid — hemisphere at first bounce, photon map deeper
-    "final": RenderConfig(),
+    # Proj13 / Final: hybrid GI — 30-sample hemisphere at the first
+    # bounce, photon-map kNN estimate deeper (Final/main.cpp:19-32),
+    # adaptive 4->8 AA, adaptive 4->16 soft shadows, gamma 2.2
+    "final": RenderConfig(min_samples=4, max_samples=8, bounces=4,
+                          gi_mode="photon", hemisphere_samples=30,
+                          shadow_min=4, shadow_max=16),
     "photon": RenderConfig(gi_mode="photon", hemisphere_samples=30),
 }
