@@ -246,18 +246,28 @@ def render_wave(scene, cfg, o, d, pixel, sample_mask, key,
         if cfg.gi_mode in ("hemisphere", "pathtrace", "photon") \
                 and cfg.hemisphere_samples > 0:
             k_gi = jax.random.fold_in(key, 101)
-            for i in range(cfg.hemisphere_samples):
+
+            # lax.scan keeps the compiled program at ONE chunk's size
+            # (a python loop of 30 chunks OOMs the compiler at 800x600)
+            def gi_chunk(acc, i):
                 chunk = _hemisphere_chunk(scene, cfg, res, pixel,
                                           jax.random.fold_in(k_gi, i))
                 kc = jax.random.fold_in(k_loop, 1000 + i)
-                res_c = shade_lanes(scene, cfg, chunk.o, chunk.d, chunk.tput,
-                                    chunk.absorb, chunk.pixel, chunk.alive,
-                                    chunk.rtype, kc, gi_grid=gi_grid)
-                lane_rad = lane_rad + res_c.radiance
-                q_c = _rr_select(res_c.children, jax.random.fold_in(kc, 31))
-                lane_rad = lane_rad + _run_bounces_rr(
+                res_c = shade_lanes(scene, cfg, chunk.o, chunk.d,
+                                    chunk.tput, chunk.absorb, chunk.pixel,
+                                    chunk.alive, chunk.rtype, kc,
+                                    gi_grid=gi_grid)
+                acc = acc + res_c.radiance
+                q_c = _rr_select(res_c.children,
+                                 jax.random.fold_in(kc, 31))
+                acc = acc + _run_bounces_rr(
                     scene, cfg, q_c, jax.random.fold_in(kc, 32),
                     gi_grid=gi_grid)
+                return acc, None
+
+            lane_rad, _ = jax.lax.scan(
+                gi_chunk, lane_rad,
+                jnp.arange(cfg.hemisphere_samples))
         q = _rr_select(res.children, jax.random.fold_in(k_loop, 77))
         lane_rad = lane_rad + _run_bounces_rr(scene, cfg, q, k_loop,
                                               gi_grid=gi_grid)
@@ -285,12 +295,17 @@ def render_wave(scene, cfg, o, d, pixel, sample_mask, key,
     # main.cpp:655-692).
     if cfg.gi_mode in ("hemisphere", "pathtrace", "photon") and cfg.hemisphere_samples > 0:
         k_gi = jax.random.fold_in(key, 101)
-        for i in range(cfg.hemisphere_samples):
+
+        def gi_chunk(img, i):
             chunk = _hemisphere_chunk(scene, cfg, res, pixel,
                                       jax.random.fold_in(k_gi, i))
-            image, _ = _run_bounces(scene, cfg, chunk, image,
-                                    jax.random.fold_in(k_loop, 1000 + i),
-                                    capacity, gi_grid=gi_grid)
+            img, _ = _run_bounces(scene, cfg, chunk, img,
+                                  jax.random.fold_in(k_loop, 1000 + i),
+                                  capacity, gi_grid=gi_grid)
+            return img, None
+
+        image, _ = jax.lax.scan(gi_chunk, image,
+                                jnp.arange(cfg.hemisphere_samples))
 
     q = _compact(res.children, capacity)
     image, _ = _run_bounces(scene, cfg, q, image, k_loop, capacity,
