@@ -94,6 +94,8 @@ def _gather_pass(grid: PhotonGrid, q_pos, q_normal, radius2,
     """One accumulation sweep over the 27 neighbor cells.
 
     radius2: [M] per-query squared search radius.
+    q_normal may be None to skip the per-photon normal-disc test
+    (normal-free queries, e.g. irradiance-volume corners).
     Returns (irrad_sum [M,3], dir_sum [M,3], count [M])."""
     m = q_pos.shape[0]
     nx, ny, nz = grid.dims
@@ -127,9 +129,10 @@ def _gather_pass(grid: PhotonGrid, q_pos, q_normal, radius2,
                     diff = pp - q_pos
                     d2 = jnp.sum(diff * diff, axis=-1)
                     ok = active & (d2 < radius2)
-                    # normal test: photon must arrive from the front
-                    # (dir . N < 0 accepted, cyPhotonMap.h:385-387)
-                    ok = ok & (dot(pd, q_normal) < 0.0)
+                    if q_normal is not None:
+                        # normal test: photon must arrive from the front
+                        # (dir . N < 0 accepted, cyPhotonMap.h:385-387)
+                        ok = ok & (dot(pd, q_normal) < 0.0)
                     if filter_type == FILTER_LINEAR:
                         filt = 1.0 - jnp.sqrt(d2 / jnp.maximum(radius2, 1e-30))
                     elif filter_type == FILTER_QUADRATIC:

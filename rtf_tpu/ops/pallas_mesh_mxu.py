@@ -108,7 +108,10 @@ def _kernel(rays_ref, tri_ref, t_ref, face_ref, front_ref, ba_ref, bb_ref,
         ba_ref[:, :] = jnp.zeros_like(ba_ref[:, :])
         bb_ref[:, :] = jnp.zeros_like(bb_ref[:, :])
 
-    s = jnp.dot(rays, tri_ref[0], preferred_element_type=jnp.float32)
+    # HIGHEST: f32 via multi-pass MXU — the default single-pass bf16
+    # matmul loses ~8 mantissa bits, visible as ~1% hit-distance error
+    s = jnp.dot(rays, tri_ref[0], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     sa = s[:, 0 * tile:1 * tile]
     sb = s[:, 1 * tile:2 * tile]
     sc = s[:, 2 * tile:3 * tile]

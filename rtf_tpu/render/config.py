@@ -40,6 +40,10 @@ class RenderConfig:
     caustic_bounces: int = 5
     knn_k: int = 400                # EstimateIrradiance<400> (main.cpp:699)
     knn_radius: float = 1.0
+    # photon estimates via the precomputed irradiance volume
+    # (gi/volume.py) on the fused path; False = exact per-point hash-grid
+    # gathers on the XLA path
+    photon_volume: bool = True
 
     # environment sampled on reflection-ray miss too (Proj8-era Shade,
     # RayTracingProj8 main.cpp:382-384); Final restricts it to refraction

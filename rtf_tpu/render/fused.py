@@ -53,6 +53,8 @@ SENTINEL = 1.0e7      # dead-lane origin: far from everything -> culled
 BLOCK = 1024          # rays per program: one [8, 128] register set
 SUB = 8
 MAX_FACES = 512       # immediate-triangle budget per scene
+MXU_TILE = 128        # faces per MXU tile (large-mesh path)
+MXU_MAX_FACES = 32768  # large-mesh (matmul-table) budget per scene
 
 # rays_sh attribute rows
 R_O, R_D, R_TPUT, R_ABS, R_ALIVE, R_RTYPE = 0, 3, 6, 9, 12, 13
@@ -112,7 +114,8 @@ def scene_consts(scene):
             size=float(scene.lights.size[i])))
 
     mesh_insts = []
-    if scene.mesh is not None:
+    mode = scene_mesh_mode(scene)
+    if mode == "imm":
         table = np.asarray(scene.mesh.tri_packed)
         for i in range(scene.num_mesh_inst):
             slot = scene.mesh_inst_slots[i]
@@ -135,6 +138,17 @@ def scene_consts(scene):
                 pos=vec(scene.mesh_inst.pos[i]),
                 nrm=mat3(scene.mesh_inst.nrm[i]),
                 mesh_lo=mlo, mesh_hi=mhi, tiles=tuple(tiles)))
+    elif mode == "mxu":
+        pack = _mxu_pack_cached(scene)
+        for i in range(scene.num_mesh_inst):
+            slot = scene.mesh_inst_slots[i]
+            row0, nt, aabbs, mlo, mhi = pack["slots"][slot]
+            mesh_insts.append(dict(
+                itm=mat3(scene.mesh_inst.itm[i]),
+                pos=vec(scene.mesh_inst.pos[i]),
+                nrm=mat3(scene.mesh_inst.nrm[i]),
+                mesh_lo=mlo, mesh_hi=mhi,
+                mxu=(row0, nt, aabbs)))
 
     return dict(
         spheres=group(scene.spheres, scene.num_spheres),
@@ -142,6 +156,131 @@ def scene_consts(scene):
         mesh_insts=mesh_insts,
         materials=mats, lights=lights,
         env=vec(scene.env_color), bg=vec(scene.bg_color))
+
+
+# ---------------------------------------------------------------------------
+# MXU mesh tables (large meshes: triangles as data, not immediates)
+
+
+_MXU_CACHE = {}
+
+
+def _mxu_pack(scene):
+    """Host-side Plücker + shading tables for the MXU mesh path.
+
+    Same bilinear factorization as ops/pallas_mesh_mxu.pack_tri_matrix
+    (sign_k = d . m_k + (o x d) . e_k; dn = d . n; on = na - o . n), with
+    per-slot Morton face order, 128-face tiles, per-tile AABBs, and a
+    shading table (vertex normals + material id) for the in-kernel
+    one-hot winner resolve.  Returns
+      dict(trit [NT,16,5*MXU_TILE] np, shade [NT,16,MXU_TILE] np,
+           slots {slot: (tile_row0, nt, aabbs tuple, lo3, hi3)}).
+    """
+    from rtf_tpu.ops.pallas_mesh import _morton3
+    mesh = scene.mesh
+    a_all = np.asarray(mesh.tri_a)
+    b_all = np.asarray(mesh.tri_b)
+    c_all = np.asarray(mesh.tri_c)
+    na_all = np.asarray(mesh.tri_na)
+    nb_all = np.asarray(mesh.tri_nb)
+    nc_all = np.asarray(mesh.tri_nc)
+    m_all = np.asarray(mesh.tri_mtl)
+
+    trit_parts, shade_parts, slots = [], [], {}
+    row0 = 0
+    for slot, (f0, f1) in enumerate(mesh.slot_faces):
+        a, b, c = a_all[f0:f1], b_all[f0:f1], c_all[f0:f1]
+        nav, nbv, ncv = na_all[f0:f1], nb_all[f0:f1], nc_all[f0:f1]
+        mt = m_all[f0:f1]
+        f = f1 - f0
+        order = np.argsort(_morton3((a + b + c) / 3.0), kind="stable")
+        a, b, c = a[order], b[order], c[order]
+        nav, nbv, ncv, mt = nav[order], nbv[order], ncv[order], mt[order]
+
+        n = np.cross(b - a, c - a)
+        ln = np.linalg.norm(n, axis=-1, keepdims=True)
+        degen = ln[:, 0] == 0
+        n = n / np.where(ln > 0, ln, 1.0)
+        na_d = np.sum(n * a, axis=-1)
+
+        def plucker(p, q):
+            return np.concatenate([np.cross(p, q), q - p], axis=-1)
+
+        w_a = plucker(b, c)
+        w_b = plucker(c, a)
+        w_c = plucker(a, b)
+        for w in (w_a, w_b, w_c):
+            w[degen] = 0.0
+        n[degen] = 0.0
+        na_d[degen] = 0.0
+
+        nt = max(1, (f + MXU_TILE - 1) // MXU_TILE)
+        trit = np.zeros((nt, 16, 5 * MXU_TILE), np.float32)
+        shade = np.zeros((nt, 16, MXU_TILE), np.float32)
+        aabbs = []
+        tri_lo = np.minimum(np.minimum(a, b), c)
+        tri_hi = np.maximum(np.maximum(a, b), c)
+        for j in range(nt):
+            lo = j * MXU_TILE
+            hi = min(f, lo + MXU_TILE)
+            w = hi - lo
+            if w <= 0:
+                aabbs.append((1e30, 1e30, 1e30, -1e30, -1e30, -1e30))
+                continue
+            trit[j, 0:6, 0 * MXU_TILE:0 * MXU_TILE + w] = w_a[lo:hi].T
+            trit[j, 0:6, 1 * MXU_TILE:1 * MXU_TILE + w] = w_b[lo:hi].T
+            trit[j, 0:6, 2 * MXU_TILE:2 * MXU_TILE + w] = w_c[lo:hi].T
+            trit[j, 0:3, 3 * MXU_TILE:3 * MXU_TILE + w] = n[lo:hi].T
+            trit[j, 6:9, 4 * MXU_TILE:4 * MXU_TILE + w] = -n[lo:hi].T
+            trit[j, 9, 4 * MXU_TILE:4 * MXU_TILE + w] = na_d[lo:hi]
+            shade[j, 0:3, :w] = nav[lo:hi].T
+            shade[j, 3:6, :w] = nbv[lo:hi].T
+            shade[j, 6:9, :w] = ncv[lo:hi].T
+            shade[j, 9, :w] = mt[lo:hi]
+            aabbs.append(tuple(float(x) for x in tri_lo[lo:hi].min(0))
+                         + tuple(float(x) for x in tri_hi[lo:hi].max(0)))
+        slots[slot] = (row0, nt, tuple(aabbs),
+                       tuple(float(x) for x in tri_lo.min(0)),
+                       tuple(float(x) for x in tri_hi.max(0)))
+        trit_parts.append(trit)
+        shade_parts.append(shade)
+        row0 += nt
+    return dict(trit=np.concatenate(trit_parts, axis=0),
+                shade=np.concatenate(shade_parts, axis=0),
+                slots=slots)
+
+
+def _mxu_pack_cached(scene):
+    import weakref
+    k = id(scene)
+    ent = _MXU_CACHE.get(k)
+    if ent is not None and ent[0]() is scene:
+        return ent[1]
+    pack = _mxu_pack(scene)
+    try:
+        ref = weakref.ref(scene)
+    except TypeError:
+        ref = (lambda s=scene: s)
+    _MXU_CACHE[k] = (ref, pack)
+    return pack
+
+
+def scene_mesh_mode(scene) -> str:
+    """'imm' (triangles baked as kernel immediates), 'mxu' (VMEM Plücker
+    tables + in-kernel matmuls) or 'none'."""
+    if scene.mesh is None or scene.num_mesh_inst == 0:
+        return "none"
+    f = scene.mesh.tri_a.shape[0]
+    return "imm" if f <= MAX_FACES else "mxu"
+
+
+def mxu_tables(scene):
+    """Device arrays (trit, shade) for fused_wave's mesh_tables arg, or
+    None when the scene is on the immediates path."""
+    if scene_mesh_mode(scene) != "mxu":
+        return None
+    pack = _mxu_pack_cached(scene)
+    return (jnp.asarray(pack["trit"]), jnp.asarray(pack["shade"]))
 
 
 _CONSTS_CACHE = {}
@@ -194,7 +333,7 @@ def _scene_fuse_info(scene) -> bool:
     if ok and sum(1 for kk in scene.light_kinds if kk != "ambient") > 2:
         ok = False
     if ok and scene.mesh is not None \
-            and scene.mesh.tri_a.shape[0] > MAX_FACES:
+            and scene.mesh.tri_a.shape[0] > MXU_MAX_FACES:
         ok = False
     if ok and scene.materials.diffuse.shape[0] > 16:
         ok = False
@@ -207,8 +346,15 @@ def _scene_fuse_info(scene) -> bool:
 
 
 def fusable(scene, cfg) -> bool:
-    """Can this scene+config run on the fused path?"""
-    if cfg.gi_mode != "none":
+    """Can this scene+config run on the fused path?
+
+    GI modes are fused too: hemisphere fan-out happens as per-sample
+    re-launches of this kernel from the first-hit surface it outputs,
+    and the photon estimate comes from the precomputed irradiance
+    volume (gi/volume.py) sampled on the kernel's per-bounce hit-point
+    outputs.  'photon' requires cfg.photon_volume (the exact per-point
+    gather stays on the XLA path)."""
+    if cfg.gi_mode == "photon" and not cfg.photon_volume:
         return False
     if cfg.resolved_split_mode() != "rr":
         return False
@@ -264,7 +410,7 @@ def _box_overlap(rlo, rhi, lo, hi):
             & (rhi[2] >= lo[2]) & (rlo[2] <= hi[2]))
 
 
-def _mesh_closest(o3, d3, consts, st, t_cap_scalar):
+def _mesh_closest(o3, d3, consts, st, t_cap_scalar, mesh_refs=None):
     """Closest mesh hit over all instances: per-(block, tile) and
     per-(block, triangle) immediate-AABB culling, winner state in the st
     scratch ([6, 8, 128]: t, nx, ny, nz, mtl, front; world normal).
@@ -272,7 +418,15 @@ def _mesh_closest(o3, d3, consts, st, t_cap_scalar):
     The CALLER seeds st with the best hit so far (e.g. the primitive
     phase) and passes t_cap_scalar = the block's largest useful t; the
     reach boxes shrink accordingly (in a closed box scene every primary
-    ray is bounded by a wall, which culls everything behind it)."""
+    ray is bounded by a wall, which culls everything behind it).
+
+    Large meshes (mesh_refs = (trit_ref, shade_ref)) go through the MXU
+    table path instead of immediates."""
+    insts = consts["mesh_insts"]
+    if insts and "mxu" in insts[0]:
+        _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
+                          mesh_refs[0], mesh_refs[1])
+        return
     for inst in consts["mesh_insts"]:
         lo3 = _mat3_apply_const(inst["itm"],
                                 o3[0] - inst["pos"][0],
@@ -327,10 +481,14 @@ def _mesh_closest(o3, d3, consts, st, t_cap_scalar):
                             ok, jnp.where(dn <= 0.0, 1.0, 0.0), st[5])
 
 
-def _mesh_anyhit(o3, d3, t_cap, consts, st, row):
+def _mesh_anyhit(o3, d3, t_cap, consts, st, row, mesh_refs=None):
     """Mesh occlusion for shadow rays (t in |d| units, cap per ray).
     Occlusion accumulates in st[row] scratch (pl.when needs a ref);
     caller initializes st[row] to zeros and reads it afterwards."""
+    insts = consts["mesh_insts"]
+    if insts and "mxu" in insts[0]:
+        _mesh_anyhit_mxu(o3, d3, t_cap, consts, st, row, mesh_refs[0])
+        return
     for inst in consts["mesh_insts"]:
         lo3 = _mat3_apply_const(inst["itm"],
                                 o3[0] - inst["pos"][0],
@@ -369,6 +527,137 @@ def _mesh_anyhit(o3, d3, t_cap, consts, st, row):
                               & (bc >= 0.0))
                         st[row] = jnp.maximum(
                             st[row], jnp.where(ok, 1.0, 0.0))
+
+
+def _rays16(lo3, ld3):
+    """Pair-matrix ray operand [BLOCK, 16] from channel registers.
+
+    Rows (validated relayout pattern on this backend: stack -> collapse
+    (8,128) into the 1024 lane dim -> transpose): 0-2 d, 3-5 o x d,
+    6-8 o, 9 = 1 — the bilinear factorization of ops/pallas_mesh_mxu."""
+    cx = lo3[1] * ld3[2] - lo3[2] * ld3[1]
+    cy = lo3[2] * ld3[0] - lo3[0] * ld3[2]
+    cz = lo3[0] * ld3[1] - lo3[1] * ld3[0]
+    one = jnp.ones_like(lo3[0])
+    zero = jnp.zeros_like(lo3[0])
+    rows = [ld3[0], ld3[1], ld3[2], cx, cy, cz,
+            lo3[0], lo3[1], lo3[2], one] + [zero] * 6
+    return jnp.transpose(jnp.reshape(jnp.stack(rows), (16, BLOCK)))
+
+
+def _mxu_pair(rays16, trit):
+    """One tile's Plücker pair matrix -> (tt, sa, sb, sc, dn) with tt =
+    hit t or BIG.  HIGHEST precision: the default single-pass bf16
+    matmul loses ~8 mantissa bits of hit distance."""
+    t_ = MXU_TILE
+    s = jnp.dot(rays16, trit, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    sa = s[:, 0 * t_:1 * t_]
+    sb = s[:, 1 * t_:2 * t_]
+    sc = s[:, 2 * t_:3 * t_]
+    dn = s[:, 3 * t_:4 * t_]
+    on = s[:, 4 * t_:5 * t_]
+    inside = ((jnp.minimum(jnp.minimum(sa, sb), sc) >= 0.0)
+              | (jnp.maximum(jnp.maximum(sa, sb), sc) <= 0.0))
+    bad = jnp.abs(dn) < DZ_EPS
+    t = on / jnp.where(bad, DZ_EPS, dn)
+    valid = inside & (~bad) & (t > ZERO)
+    return t, valid, sa, sb, sc, dn
+
+
+def _to88(v):
+    return jnp.reshape(v, (SUB, TRI_LANES))
+
+
+def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
+                      trit_ref, shade_ref):
+    """Closest mesh hit, large-mesh path: per tile, ONE [1024,16] x
+    [16,5*128] MXU matmul yields every ray x triangle Plücker sign and
+    plane term; the VPU epilogue picks the per-ray winner and resolves
+    its interpolated normal / material via sublane-broadcast shade rows
+    (shade table) — no gathers, compile size O(1) in face count.
+    Same intersection semantics as ops/pallas_mesh_mxu (and therefore
+    TriObj::IntersectTriangle, objects.h:162-268)."""
+    shape = (SUB, TRI_LANES)
+    for inst in consts["mesh_insts"]:
+        row0, nt, aabbs = inst["mxu"]
+        lo3 = _mat3_apply_const(inst["itm"],
+                                o3[0] - inst["pos"][0],
+                                o3[1] - inst["pos"][1],
+                                o3[2] - inst["pos"][2])
+        ld3 = _mat3_apply_const(inst["itm"], d3[0], d3[1], d3[2])
+        rlo, rhi = _block_reach(lo3, ld3, t_cap_scalar,
+                                inst["mesh_lo"], inst["mesh_hi"])
+        rays16 = _rays16(lo3, ld3)
+        nrm = inst["nrm"]
+        for j, bb in enumerate(aabbs):
+            tile_ov = _box_overlap(rlo, rhi, bb[0:3], bb[3:6])
+
+            @pl.when(tile_ov)
+            def _(j=j, rays16=rays16, nrm=nrm):
+                t, valid, sa, sb, sc, dn = _mxu_pair(
+                    rays16, trit_ref[row0 + j])
+                tt = jnp.where(valid & (t < t_cap_scalar), t, BIG)
+                tmin = jnp.min(tt, axis=1, keepdims=True)     # [B,1]
+                col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+                fid = jnp.where(tt == tmin, col, jnp.int32(2 ** 30))
+                fmin = jnp.min(fid, axis=1, keepdims=True)
+                pick = (col == fmin) & (tt == tmin)
+                ssum = sa + sb + sc
+                rs = 1.0 / jnp.where(ssum == 0.0, 1.0, ssum)
+                ba = sa * rs
+                bb_ = sb * rs
+                bc = 1.0 - ba - bb_
+                sh = shade_ref[row0 + j]                       # [16, T]
+                nlx = sh[0:1, :] * ba + sh[3:4, :] * bb_ + sh[6:7, :] * bc
+                nly = sh[1:2, :] * ba + sh[4:5, :] * bb_ + sh[7:8, :] * bc
+                nlz = sh[2:3, :] * ba + sh[5:6, :] * bb_ + sh[8:9, :] * bc
+                mtl_p = jnp.broadcast_to(sh[9:10, :], tt.shape)
+                fr_p = jnp.where(dn <= 0.0, 1.0, 0.0)
+
+                def sel(x):
+                    return _to88(jnp.sum(jnp.where(pick, x, 0.0), axis=1))
+
+                t8 = _to88(tmin[:, 0])
+                wnx, wny, wnz = _mat3_apply_const(
+                    nrm, sel(nlx), sel(nly), sel(nlz))
+                ok = t8 < st[0]
+                st[0] = jnp.where(ok, t8, st[0])
+                st[1] = jnp.where(ok, wnx, st[1])
+                st[2] = jnp.where(ok, wny, st[2])
+                st[3] = jnp.where(ok, wnz, st[3])
+                st[4] = jnp.where(ok, sel(mtl_p), st[4])
+                st[5] = jnp.where(ok, sel(fr_p), st[5])
+
+
+def _mesh_anyhit_mxu(o3, d3, t_cap, consts, st, row, trit_ref):
+    """Mesh occlusion, large-mesh path (GenLight::Shadow t-window with
+    per-ray caps carried into pair space)."""
+    for inst in consts["mesh_insts"]:
+        row0, nt, aabbs = inst["mxu"]
+        lo3 = _mat3_apply_const(inst["itm"],
+                                o3[0] - inst["pos"][0],
+                                o3[1] - inst["pos"][1],
+                                o3[2] - inst["pos"][2])
+        ld3 = _mat3_apply_const(inst["itm"], d3[0], d3[1], d3[2])
+        rlo, rhi = _block_reach(lo3, ld3, jnp.max(t_cap),
+                                inst["mesh_lo"], inst["mesh_hi"])
+        rays16 = _rays16(lo3, ld3)
+        for j, bb in enumerate(aabbs):
+            tile_ov = _box_overlap(rlo, rhi, bb[0:3], bb[3:6])
+            tile_ov &= jnp.min(st[row]) < 1.0   # all occluded -> done
+
+            @pl.when(tile_ov)
+            def _(j=j, rays16=rays16):
+                # per-ray t_cap can't ride into pair space (the [8,128]
+                # -> [1024,1] relayout is unsupported); equivalent test:
+                # min valid t in the tile < cap  <=>  some valid t < cap
+                t, valid, *_ = _mxu_pair(rays16, trit_ref[row0 + j])
+                tt = jnp.where(valid & (t > 1e-14), t, BIG)
+                tmin8 = _to88(jnp.min(tt, axis=1))
+                occ = (tmin8 < t_cap) & (tmin8 < BIG)
+                st[row] = jnp.maximum(
+                    st[row], jnp.where(occ, 1.0, 0.0))
 
 
 def _primitive_phase(o3, d3, t, n3, mtl, front, consts):
@@ -505,22 +794,52 @@ def _rand01(seed_scalar, shape):
     return bits24.astype(jnp.float32) * (1.0 / 16777216.0)
 
 
-def _wave_kernel(seed_ref, rays_ref, out_ref, st,
-                 *, consts, cfg_c, nbounce, use_pid=True):
+SURF_ROWS = 12     # first-hit p(3) n(3) kd(3) k_eff(3)
+GI_ROWS = 9        # per-bounce photon query: p(3) n(3) weight(3)
+
+
+def _out_rows(nbounce, surf_out, gi_from):
+    """Total output rows for a kernel configuration."""
+    rows = 16 + (SURF_ROWS if surf_out else 0)
+    if gi_from is not None:
+        rows += GI_ROWS * (nbounce - gi_from)
+    return rows
+
+
+def _wave_kernel(seed_ref, rays_ref, *refs, consts, cfg_c, nbounce,
+                 use_pid=True, surf_out=False, gi_from=None,
+                 has_mesh_tables=False):
     """The whole wave (all bounces) in one launch: ray state lives in
     registers across the lax.fori_loop, so there is no queue traffic at
-    all — HBM sees primary rays in and radiance out."""
+    all — HBM sees primary rays in and radiance out.
+
+    GI extensions (both static):
+    * surf_out: rows 16..27 get the FIRST-hit surface (p, n, kd, k_eff)
+      so the driver can fan out hemisphere GI samples (main.cpp:642-693)
+      as re-launches of this same kernel;
+    * gi_from=k: every bounce b >= k appends a photon-map query
+      (hit p, n, kd*k_eff*hit) at rows base+(b-k)*9 — the driver turns
+      them into irradiance-volume lookups (the deep-bounce photon
+      estimate, main.cpp:694-705)."""
+    if has_mesh_tables:
+        trit_ref, shade_ref, out_ref, st = refs
+        mesh_refs = (trit_ref, shade_ref)
+    else:
+        out_ref, st = refs
+        mesh_refs = None
     # per-block seed: program_id is unavailable in interpret mode, where
     # a shared seed is acceptable (tests only)
     seed0 = seed_ref[0, 0] + (pl.program_id(0) * 7919 if use_pid else 0)
     shape = (SUB, TRI_LANES)
     sh = rays_ref[0]                       # [16, 8, 128]
     any_alive = jnp.max(sh[R_ALIVE]) > 0.0
+    n_rows = _out_rows(nbounce, surf_out, gi_from)
+    gi_base = 16 + (SURF_ROWS if surf_out else 0)
 
     @pl.when(~any_alive)
     def _():
         zero = jnp.zeros(shape, jnp.float32)
-        for r in range(16):
+        for r in range(n_rows):
             out_ref[0, r] = jnp.full(shape, BIG, jnp.float32) if r == 4 \
                 else zero
 
@@ -536,8 +855,22 @@ def _wave_kernel(seed_ref, rays_ref, out_ref, st,
 
         def bounce(b, carry):
             state, acc = carry
-            rad3, hitf, tz, state = _bounce_core(
-                state, seed0 + b * 101, st, consts, cfg_c)
+            rad3, hitf, tz, surf, qw, state = _bounce_core(
+                state, seed0 + b * 101, st, consts, cfg_c,
+                mesh_refs=mesh_refs)
+            if surf_out:
+                @pl.when(b == 0)
+                def _():
+                    for r in range(SURF_ROWS):
+                        out_ref[0, 16 + r] = surf[r]
+            if gi_from is not None:
+                @pl.when(b >= gi_from)
+                def _():
+                    base = gi_base + (b - gi_from) * GI_ROWS
+                    for r in range(6):
+                        out_ref[0, base + r] = surf[r]   # p, n
+                    for r in range(3):
+                        out_ref[0, base + 6 + r] = qw[r]
             first = b == 0
             acc = (acc[0] + rad3[0], acc[1] + rad3[1], acc[2] + rad3[2],
                    jnp.where(first, hitf, acc[3]),
@@ -554,9 +887,13 @@ def _wave_kernel(seed_ref, rays_ref, out_ref, st,
             out_ref[0, extra] = zero
 
 
-def _bounce_core(state, seed, st, consts, cfg_c):
+def _bounce_core(state, seed, st, consts, cfg_c, mesh_refs=None):
     """One bounce on register-resident ray state; returns
-    (rad3, hit flag, z, next state)."""
+    (rad3, hit flag, z, surf rows, gi-query weight, next state).
+
+    surf = (px,py,pz, nx,ny,nz, kd rgb, k_eff rgb) of THIS bounce's hit;
+    qw = kd * k_eff masked by hit — the photon-query weight (the deep
+    bounce GI term is kd * E(p) * cos, main.cpp:700-705)."""
     shape = (SUB, TRI_LANES)
     o3 = state[0:3]
     d3 = state[3:6]
@@ -577,7 +914,7 @@ def _bounce_core(state, seed, st, consts, cfg_c):
     st[1], st[2], st[3] = n3_p
     st[4] = mtl_p
     st[5] = front_p
-    _mesh_closest(o3, d3, consts, st, jnp.max(t_p))
+    _mesh_closest(o3, d3, consts, st, jnp.max(t_p), mesh_refs=mesh_refs)
     t, n3 = st[0], (st[1], st[2], st[3])
     mtl, front = st[4], st[5]
     hit = alive & (t < BIG)
@@ -677,7 +1014,7 @@ def _bounce_core(state, seed, st, consts, cfg_c):
             # reuse row 0 as the shadow-occlusion accumulator
             st[0] = jnp.zeros(shape, jnp.float32)
             _mesh_anyhit((sox, soy, soz), (tdx_s, tdy_s, tdz_s), tmax_v,
-                         consts, st, 0)
+                         consts, st, 0, mesh_refs=mesh_refs)
             occ = _primitive_anyhit((sox, soy, soz),
                                     (tdx_s, tdy_s, tdz_s), tmax_v,
                                     st[0], consts)
@@ -770,7 +1107,10 @@ def _bounce_core(state, seed, st, consts, cfg_c):
         jnp.where(child_alive, 1.0, 0.0),
         jnp.where(take_r, float(RT_REFLECT), float(RT_REFRACT)),
     )
-    return (rad[0], rad[1], rad[2]), hitf, tz, next_state
+    surf = (px, py, pz, nx, ny, nz,
+            kd[0], kd[1], kd[2], k_eff[0], k_eff[1], k_eff[2])
+    qw = tuple(jnp.where(hit, kd[c] * k_eff[c], 0.0) for c in range(3))
+    return (rad[0], rad[1], rad[2]), hitf, tz, surf, qw, next_state
 
 
 # ---------------------------------------------------------------------------
@@ -797,10 +1137,20 @@ def _pack_rays_sh(cols):
     return jnp.concatenate(rows, axis=1)
 
 
-def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None):
+def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None,
+               tput3=None, absorb3=None, rtype=None,
+               surf_out=False, gi_from=None, mesh_tables=None):
     """Full wave: primary rays (channel tuples of [n0]) ->
     ((r, g, b) channel arrays [n0], hit [n0], z [n0]).  ONE kernel launch
-    runs all bounces; lane order is plain ray order (reshape-packed)."""
+    runs all bounces; lane order is plain ray order (reshape-packed).
+
+    GI extensions:
+    * tput3/absorb3/rtype seed non-primary waves (hemisphere GI chunks
+      start with throughput kd*k_eff*cos/S and rtype=RT_REFRACT);
+    * surf_out=True / gi_from=k request the kernel's surface and photon
+      query outputs; the return grows to
+      (rad3, hit, z, surf [12 x [n0]] or None, queries list of
+      (p3, n3, w3) per emitted bounce)."""
     n0 = o3[0].shape[0]
     n = _pad_blocks(n0)
     interpret = jax.default_backend() != "tpu"
@@ -813,15 +1163,22 @@ def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None):
 
     alive_f = padded(alive.astype(jnp.float32))
     one = jnp.ones((n,), jnp.float32)
-    cols = {R_TPUT: one, R_TPUT + 1: one, R_TPUT + 2: one,
-            R_ALIVE: alive_f}
+    cols = {R_ALIVE: alive_f}
     for c in range(3):
         cols[R_O + c] = padded(jnp.where(alive, o3[c], SENTINEL), SENTINEL)
         cols[R_D + c] = padded(d3[c], 1.0)
+        cols[R_TPUT + c] = one if tput3 is None else padded(tput3[c])
+        if absorb3 is not None:
+            cols[R_ABS + c] = padded(absorb3[c])
+    if rtype is not None:
+        cols[R_RTYPE] = padded(
+            jnp.full((n0,), float(rtype), jnp.float32))
     rays_sh = _pack_rays_sh(cols)
 
     nb = cfg.bounces if bounces is None else bounces
     nblk = n // BLOCK
+    nbounce = nb + 1
+    n_rows = _out_rows(nbounce, surf_out, gi_from)
     cfg_c = dict(light_average=cfg.light_average,
                  inverse_square=cfg.inverse_square,
                  env_on_reflect_miss=cfg.env_on_reflect_miss,
@@ -832,23 +1189,162 @@ def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None):
                  # penumbra lanes to max anyway)
                  shadow_samples=cfg.shadow_max)
     kern = functools.partial(_wave_kernel, consts=consts, cfg_c=cfg_c,
-                             nbounce=nb + 1, use_pid=not interpret)
+                             nbounce=nbounce, use_pid=not interpret,
+                             surf_out=surf_out, gi_from=gi_from,
+                             has_mesh_tables=mesh_tables is not None)
     seeds = jnp.full((1, 1), seed, jnp.int32)
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        _blk4(16),
+    ]
+    args = [seeds, rays_sh]
+    if mesh_tables is not None:
+        trit, shade = mesh_tables
+        in_specs.append(pl.BlockSpec(trit.shape, lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(shade.shape, lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args += [trit, shade]
     out = pl.pallas_call(
         kern,
         grid=(nblk,),
-        out_shape=jax.ShapeDtypeStruct((nblk, 16, SUB, TRI_LANES),
+        out_shape=jax.ShapeDtypeStruct((nblk, n_rows, SUB, TRI_LANES),
                                        jnp.float32),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            _blk4(16),
-        ],
-        out_specs=_blk4(16),
+        in_specs=in_specs,
+        out_specs=_blk4(n_rows),
         scratch_shapes=[pltpu.VMEM((6, SUB, TRI_LANES), jnp.float32)],
         interpret=interpret,
-    )(seeds, rays_sh)
+    )(*args)
 
-    rad3 = tuple(out[:, c].reshape(n)[:n0] for c in range(3))
-    hit0 = out[:, 3].reshape(n)[:n0] > 0.0
-    z0 = out[:, 4].reshape(n)[:n0]
-    return rad3, hit0, z0
+    def row(r):
+        return out[:, r].reshape(n)[:n0]
+
+    rad3 = tuple(row(c) for c in range(3))
+    hit0 = row(3) > 0.0
+    z0 = row(4)
+    if not surf_out and gi_from is None:
+        return rad3, hit0, z0
+    surf = tuple(row(16 + r) for r in range(SURF_ROWS)) if surf_out \
+        else None
+    queries = []
+    if gi_from is not None:
+        gi_base = 16 + (SURF_ROWS if surf_out else 0)
+        for b in range(nbounce - gi_from):
+            base = gi_base + b * GI_ROWS
+            queries.append((tuple(row(base + r) for r in range(3)),
+                            tuple(row(base + 3 + r) for r in range(3)),
+                            tuple(row(base + 6 + r) for r in range(3))))
+    return rad3, hit0, z0, surf, queries
+
+
+# ---------------------------------------------------------------------------
+# fused GI: hemisphere fan-out via re-launches + irradiance-volume terms
+
+
+def _volume_terms(queries, gi_vol):
+    """Photon-map GI from the kernel's per-bounce query outputs: one
+    batched trilinear lookup over ALL emitted bounces (concatenated so
+    the 8 corner gathers amortize).  Returns channel tuple of [N]."""
+    from rtf_tpu.gi.volume import sample_volume_ch
+    if not queries:
+        return None
+    p3 = tuple(jnp.concatenate([q[0][c] for q in queries])
+               for c in range(3))
+    n3 = tuple(jnp.concatenate([q[1][c] for q in queries])
+               for c in range(3))
+    w3 = tuple(jnp.concatenate([q[2][c] for q in queries])
+               for c in range(3))
+    e3, d3 = sample_volume_ch(gi_vol, p3)
+    cos = jnp.maximum(
+        0.0, -(n3[0] * d3[0] + n3[1] * d3[1] + n3[2] * d3[2]))
+    nb = len(queries)
+    n = queries[0][0][0].shape[0]
+    out = []
+    for c in range(3):
+        v = (w3[c] * e3[c] * cos).reshape(nb, n)
+        out.append(jnp.sum(v, axis=0))
+    return tuple(out)
+
+
+def _hemisphere_dirs_ch(n3, key):
+    """Channelwise cosine-ish hemisphere sample (main.cpp:643-654 basis
+    rule + the phi ~ U(0,2pi), sin(theta) = sqrt(U) distribution) —
+    identical math to integrator._hemisphere_chunk."""
+    nx, ny, nz = n3
+    m = nx.shape[0]
+    use1 = nx < 0.4          # dot(N, x_axis) < 0.4
+    # cross(n, x_axis) = (0, nz, -ny); cross(n, z_axis) = (ny, -nx, 0)
+    tx = jnp.where(use1, 0.0, ny)
+    ty = jnp.where(use1, nz, -nx)
+    tz = jnp.where(use1, -ny, 0.0)
+    tx, ty, tz = _norm3(tx, ty, tz)
+    bx = ny * tz - nz * ty
+    by = nz * tx - nx * tz
+    bz = nx * ty - ny * tx
+    k1, k2 = jax.random.split(key)
+    phi = jax.random.uniform(k1, (m,)) * (2.0 * np.pi)
+    ysq = jax.random.uniform(k2, (m,))
+    sin_t = jnp.sqrt(ysq)
+    cos_t = jnp.sqrt(1.0 - ysq)
+    ca, sa = jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t
+    d = _norm3(tx * ca + bx * sa + nx * cos_t,
+               ty * ca + by * sa + ny * cos_t,
+               tz * ca + bz * sa + nz * cos_t)
+    w = jnp.maximum(0.0, d[0] * nx + d[1] * ny + d[2] * nz)
+    return d, w
+
+
+def fused_gi_wave(cfg, consts, o3, d3, alive, seed, key, gi_vol=None,
+                  mesh_tables=None):
+    """One GI sample wave on the fused path: primary launch (all Fresnel
+    bounces in-kernel) + cfg.hemisphere_samples re-launches from the
+    first-hit surface + irradiance-volume terms for every deep bounce.
+
+    Reproduces the hybrid-GI structure of MtlBlinn::Shade: first-bounce
+    hemisphere loop (main.cpp:642-693) and deep-bounce photon estimate
+    (main.cpp:694-705).  gi_vol=None covers the 'hemisphere'/'pathtrace'
+    modes (no photon map).  Returns (rad3, hit, z) like fused_wave."""
+    use_photon = gi_vol is not None
+    rad3, hit0, z0, surf, queries = fused_wave(
+        cfg, consts, o3, d3, alive, seed,
+        surf_out=True, gi_from=1 if use_photon else None,
+        mesh_tables=mesh_tables)
+    racc = list(rad3)
+    if use_photon:
+        vt = _volume_terms(queries, gi_vol)
+        racc = [racc[c] + vt[c] for c in range(3)]
+
+    s = cfg.hemisphere_samples
+    if s > 0:
+        p3 = surf[0:3]
+        n3 = surf[3:6]
+        kd3 = surf[6:9]
+        ke3 = surf[9:12]
+
+        def gi_chunk(carry, i):
+            kc = jax.random.fold_in(key, i)
+            dirs, w = _hemisphere_dirs_ch(n3, kc)
+            tput3 = tuple(ke3[c] * kd3[c] * w * (1.0 / s)
+                          for c in range(3))
+            alive_c = alive & hit0 & (
+                jnp.maximum(jnp.maximum(tput3[0], tput3[1]), tput3[2])
+                > 0.0)
+            o3c = _offset_origin(p3[0], p3[1], p3[2], n3[0], n3[1], n3[2],
+                                 dirs[0], dirs[1], dirs[2])
+            out_c = fused_wave(
+                cfg, consts, o3c, dirs, alive_c,
+                seed + (i + 1) * 104729, tput3=tput3,
+                rtype=RT_REFRACT,
+                gi_from=0 if use_photon else None,
+                mesh_tables=mesh_tables)
+            if use_photon:
+                rc3, _, _, _, qs = out_c
+                vt_c = _volume_terms(qs, gi_vol)
+                rc3 = tuple(rc3[c] + vt_c[c] for c in range(3))
+            else:
+                rc3 = out_c[0]
+            return tuple(carry[c] + rc3[c] for c in range(3)), None
+
+        racc, _ = jax.lax.scan(gi_chunk, tuple(racc), jnp.arange(s))
+        racc = list(racc)
+    return tuple(racc), hit0, z0

@@ -118,8 +118,14 @@ def shade_lanes(scene, cfg, o, d, tput, absorb, pixel, alive, rtype,
     col = mtl.emission + direct_lighting(scene, cfg, surf, mtl, view, key)
     if gi_grid is not None:
         from rtf_tpu.gi.grid import estimate_irradiance
-        irrad, mean_dir = estimate_irradiance(
-            gi_grid, surf.p, surf.n, cfg.knn_radius, cfg.knn_k)
+        from rtf_tpu.gi.volume import IrradianceVolume, sample_volume
+        if isinstance(gi_grid, IrradianceVolume):
+            # precomputed irradiance volume: one trilinear lookup per
+            # query instead of the 27-cell photon gather (gi/volume.py)
+            irrad, mean_dir = sample_volume(gi_grid, surf.p)
+        else:
+            irrad, mean_dir = estimate_irradiance(
+                gi_grid, surf.p, surf.n, cfg.knn_radius, cfg.knn_k)
         theta = jnp.maximum(0.0, -dot(surf.n, mean_dir))
         col = col + mtl.kd * irrad * theta[:, None]
     radiance = jnp.where(hit_mask[:, None], k_eff * col, 0.0)

@@ -56,7 +56,7 @@ def _wave_stats(scene, cfg, sample_lo: int, sample_hi: int, key,
 
 
 def _wave_body(carry, scene, cfg, mask_lanes, key, j, gi_grid=None,
-               fused_consts=None):
+               fused_consts=None, gi_vol=None, mesh_tables=None):
     """One sample wave for all pixels, accumulated in LANE space (lane k
     renders pixel order[k], camera.pixel_order).  Nothing in the wave
     loop gathers or scatters; the lane->pixel conversion happens once
@@ -71,16 +71,22 @@ def _wave_body(carry, scene, cfg, mask_lanes, key, j, gi_grid=None,
     if fused_consts is not None:
         # fully channelwise: every array stays 1-D [N] or [3, P] so the
         # TPU never touches a narrow-lane [N, 3] layout
-        from rtf_tpu.render.fused import fused_wave
+        from rtf_tpu.render.fused import fused_gi_wave, fused_wave
         o3, d3 = primary_rays_ch(
             scene, px, py, jnp.full_like(px, j), key=kj,
             halton_bases=(cfg.halton_base_x, cfg.halton_base_y),
             dof=scene.dof > 0)
         seed32 = jax.random.randint(
             jax.random.fold_in(kj, 7), (), 0, 2 ** 31 - 1)
-        rad3, hitl, zl = fused_wave(
-            cfg, fused_consts.obj, o3, d3, mask_lanes,
-            seed32.astype(jnp.int32))
+        if cfg.gi_mode == "none":
+            rad3, hitl, zl = fused_wave(
+                cfg, fused_consts.obj, o3, d3, mask_lanes,
+                seed32.astype(jnp.int32), mesh_tables=mesh_tables)
+        else:
+            rad3, hitl, zl = fused_gi_wave(
+                cfg, fused_consts.obj, o3, d3, mask_lanes,
+                seed32.astype(jnp.int32), jax.random.fold_in(kj, 11),
+                gi_vol=gi_vol, mesh_tables=mesh_tables)
         contrib = jnp.stack(rad3, axis=0)
         hit_count = hitl.astype(jnp.int32)
         z_min = jnp.where(hitl, zl, jnp.float32(1.0e30))
@@ -117,7 +123,7 @@ def lanes_to_pixels(rad, hits, z, nsamples, order):
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "fused_consts", "nsub"))
 def _wave_step(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
-               fused_consts=None, nsub=1):
+               fused_consts=None, gi_vol=None, mesh_tables=None, nsub=1):
     """nsub sample waves per dispatch (amortizes per-call host/tunnel
     overhead; lax.scan keeps the compiled size at one wave).
 
@@ -126,11 +132,14 @@ def _wave_step(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
     the wave pipeline — measured 6x slower than the extra copy."""
     if nsub == 1:
         return _wave_body(carry, scene, cfg, mask_pixels, key, j,
-                          gi_grid=gi_grid, fused_consts=fused_consts)
+                          gi_grid=gi_grid, fused_consts=fused_consts,
+                          gi_vol=gi_vol, mesh_tables=mesh_tables)
     carry, _ = jax.lax.scan(
         lambda c, jj: (_wave_body(c, scene, cfg, mask_pixels, key, jj,
                                   gi_grid=gi_grid,
-                                  fused_consts=fused_consts), None),
+                                  fused_consts=fused_consts,
+                                  gi_vol=gi_vol,
+                                  mesh_tables=mesh_tables), None),
         carry, j + jnp.arange(nsub))
     return carry
 
@@ -191,10 +200,26 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
     all_px = jnp.ones((num_px,), bool)
 
     fused_consts = None
-    if gi_grid is None and jax.default_backend() == "tpu":
-        from rtf_tpu.render.fused import frozen_consts, fusable
+    gi_vol = None
+    if cfg.gi_mode == "photon" and cfg.photon_volume and gi_grid is not None:
+        from rtf_tpu.gi.volume import IrradianceVolume, \
+            build_irradiance_volume
+        if not isinstance(gi_grid, IrradianceVolume):
+            gi_vol = build_irradiance_volume(
+                gi_grid, cfg.knn_radius, cfg.knn_k,
+                scene.world_min, scene.world_max)
+        else:
+            gi_vol = gi_grid
+    mesh_tables = None
+    if jax.default_backend() == "tpu":
+        from rtf_tpu.render.fused import frozen_consts, fusable, mxu_tables
         if fusable(scene, cfg):
             fused_consts = frozen_consts(scene)
+            mesh_tables = mxu_tables(scene)
+    if fused_consts is not None:
+        gi_grid = None   # the fused path replaces the XLA gather
+    elif gi_vol is not None:
+        gi_grid = gi_vol  # XLA path: volume lookups replace the gather
 
     # the whole loop runs in LANE space (tile order); converted once at
     # the end.  Waves go out in batches of STEP per dispatch.
@@ -206,6 +231,7 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
             k = min(STEP, hi - j)
             carry = _wave_step(carry, scene, cfg, mask, kphase, j,
                                gi_grid=gi_grid, fused_consts=fused_consts,
+                               gi_vol=gi_vol, mesh_tables=mesh_tables,
                                nsub=k)
             j += k
         return carry

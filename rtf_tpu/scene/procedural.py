@@ -81,7 +81,7 @@ def icosphere_mesh(subdiv: int = 2) -> MeshDesc:
 
 def box_scene(width: int = 200, height: int = 150,
               with_mesh: bool = True, light_size: float = 0.0,
-              dof: float = 0.0) -> SceneDesc:
+              dof: float = 0.0, mesh_subdiv: int = 2) -> SceneDesc:
     """Cornell-style box + reflective & refractive spheres (+ icosphere
     mesh), structurally equivalent to the Proj13 box scene."""
     s = SceneDesc()
@@ -103,7 +103,7 @@ def box_scene(width: int = 200, height: int = 150,
         s.root.children.append(
             _node("ball", "mesh", "redball",
                   Transform().scale(3).translate([1, 4, 3]),
-                  mesh=icosphere_mesh(2)))
+                  mesh=icosphere_mesh(mesh_subdiv)))
 
     s.materials = {
         "wall": _mtl("wall", (1, 1, 1), specular=(0, 0, 0)),

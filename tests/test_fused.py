@@ -37,7 +37,10 @@ def _setup(w=32, h=24, with_mesh=True):
 def test_fusable_gate():
     scene, cfg, *_ = _setup()
     assert fusable(scene, cfg)
-    assert not fusable(scene, cfg.with_(gi_mode="hemisphere"))
+    assert fusable(scene, cfg.with_(gi_mode="hemisphere"))
+    assert fusable(scene, cfg.with_(gi_mode="photon"))
+    assert not fusable(scene, cfg.with_(gi_mode="photon",
+                                        photon_volume=False))
     assert not fusable(scene, cfg.with_(min_samples=1, split_mode="auto"))
 
 
@@ -88,3 +91,92 @@ def test_fused_wave_bounces_mean():
     mean_f = float(sum(np.asarray(c).mean() for c in rad3) / 3.0)
     mean_x = float(np.asarray(out.radiance).mean())
     assert abs(mean_f - mean_x) / max(mean_x, 1e-9) < 0.05
+
+
+def test_fused_gi_hemisphere_mean_matches_xla():
+    """Fused hemisphere GI (surface-output relaunch scheme) must agree
+    in the mean with the XLA GI path (different RNG streams)."""
+    from rtf_tpu.render.fused import fused_gi_wave
+    scene, cfg, order, o, d, o3, d3, key = _setup(w=48, h=32)
+    cfg = cfg.with_(bounces=2, gi_mode="hemisphere", hemisphere_samples=8)
+    n = scene.width * scene.height
+    alive = jnp.ones((n,), bool)
+    consts = scene_consts(scene)
+    rad3, hit, z = fused_gi_wave(cfg, consts, o3, d3, alive,
+                                 jnp.int32(5), jax.random.PRNGKey(2))
+    inv = jnp.asarray(pixel_order_inv(scene.width, scene.height))
+    out = I.render_wave(scene, cfg, o, d, order, alive, key, n,
+                        inv_pixel=inv)
+    mean_f = float(sum(np.asarray(c).mean() for c in rad3) / 3.0)
+    mean_x = float(np.asarray(out.radiance).mean())
+    # GI must actually add energy over the no-GI render
+    rad0 = I.render_wave(scene, cfg.with_(gi_mode="none"), o, d,
+                         order, alive, key, n, inv_pixel=inv).radiance
+    assert mean_f > float(np.asarray(rad0).mean())
+    assert abs(mean_f - mean_x) / max(mean_x, 1e-9) < 0.08
+
+
+def test_fused_gi_photon_volume_mean():
+    """Fused hybrid GI (hemisphere first bounce + volume photon
+    estimates deeper) tracks the XLA photon path in the mean."""
+    from rtf_tpu.gi.grid import build_photon_grid
+    from rtf_tpu.gi.photon import shoot_photons
+    from rtf_tpu.gi.volume import build_irradiance_volume
+    from rtf_tpu.render.fused import fused_gi_wave
+    scene, cfg, order, o, d, o3, d3, key = _setup(w=24, h=16)
+    cfg = cfg.with_(bounces=1, gi_mode="photon", hemisphere_samples=2,
+                    knn_radius=3.0, knn_k=64)
+    pm = shoot_photons(scene, cfg, n_emit=4096, capacity=8192,
+                       key=jax.random.PRNGKey(1))
+    grid = build_photon_grid(pm, cfg.knn_radius,
+                             scene.world_min, scene.world_max)
+    vol = build_irradiance_volume(grid, cfg.knn_radius, cfg.knn_k,
+                                  scene.world_min, scene.world_max)
+    n = scene.width * scene.height
+    alive = jnp.ones((n,), bool)
+    consts = scene_consts(scene)
+    rad3, hit, z = fused_gi_wave(cfg, consts, o3, d3, alive,
+                                 jnp.int32(9), jax.random.PRNGKey(3),
+                                 gi_vol=vol)
+    inv = jnp.asarray(pixel_order_inv(scene.width, scene.height))
+    out = I.render_wave(scene, cfg, o, d, order, alive, key, n,
+                        gi_grid=grid, inv_pixel=inv)
+    mean_f = float(sum(np.asarray(c).mean() for c in rad3) / 3.0)
+    mean_x = float(np.asarray(out.radiance).mean())
+    assert mean_f > 0 and mean_x > 0
+    # volume drops the per-photon normal test -> slightly brighter;
+    # allow a wider band than the pure-hemisphere comparison
+    assert 0.75 < mean_f / mean_x < 1.35
+
+
+def test_fused_mxu_large_mesh_matches_xla():
+    """Large-mesh (MXU Plücker table) fused path vs XLA at bounces=0 —
+    exact same hits and near-identical radiance."""
+    from rtf_tpu.render.fused import mxu_tables, scene_mesh_mode
+    scene = build_scene(box_scene(width=32, height=24, with_mesh=True,
+                                  mesh_subdiv=3))
+    assert scene_mesh_mode(scene) == "mxu"
+    cfg = RenderConfig(min_samples=8, max_samples=8, bounces=0,
+                       shadow_min=1, shadow_max=1, gi_mode="none")
+    w, h = scene.width, scene.height
+    order = jnp.asarray(pixel_order(w, h))
+    px, py = order % w, order // w
+    key = jax.random.PRNGKey(0)
+    o, d = primary_rays(scene, px, py, jnp.zeros_like(px), key=key,
+                        halton_bases=(2, 3))
+    o3, d3 = primary_rays_ch(scene, px, py, jnp.zeros_like(px), key=key,
+                             halton_bases=(2, 3))
+    n = w * h
+    alive = jnp.ones((n,), bool)
+    consts = scene_consts(scene)
+    tables = mxu_tables(scene)
+    rad3, hitl, zl = fused_wave(cfg, consts, o3, d3, alive, jnp.int32(1),
+                                bounces=0, mesh_tables=tables)
+    inv = jnp.asarray(pixel_order_inv(w, h))
+    out = I.render_wave(scene, cfg, o, d, order, alive, key, n,
+                        inv_pixel=inv)
+    inv_np = np.asarray(inv)
+    rad_f = np.stack([np.asarray(rad3[c])[inv_np] for c in range(3)], 1)
+    np.testing.assert_array_equal(
+        np.asarray(hitl)[inv_np], np.asarray(out.hit_count) > 0)
+    np.testing.assert_allclose(rad_f, np.asarray(out.radiance), atol=3e-4)

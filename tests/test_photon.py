@@ -116,3 +116,55 @@ def test_reference_caustic_dat_loads():
     assert np.isfinite(pos).all()
     lens = np.linalg.norm(dirs, axis=1)
     assert (np.abs(lens - 1) < 0.05).mean() > 0.95
+
+
+# ---------------------------------------------------------------------------
+# irradiance volume (gi/volume.py)
+
+
+def test_volume_matches_exact_estimate_at_corners(scene, photons):
+    """At grid-corner positions the trilinear sample IS the table entry,
+    which must equal the normal-test-free exact estimate."""
+    from rtf_tpu.gi.volume import build_irradiance_volume, sample_volume
+    from rtf_tpu.gi.volume import _estimate_no_normal
+    radius, k = 2.0, 64
+    grid = build_photon_grid(photons, radius,
+                             scene.world_min, scene.world_max)
+    vol = build_irradiance_volume(grid, radius, k,
+                                  scene.world_min, scene.world_max)
+    # pick some interior corners
+    nx, ny, nz = (d + 1 for d in vol.dims)
+    ids = np.array([0, nz + 1, (ny * nz) + nz + 1,
+                    (nx // 2 * ny + ny // 2) * nz + nz // 2])
+    corner_p = (np.asarray(vol.origin)
+                + np.stack([ids // (ny * nz), (ids // nz) % ny, ids % nz],
+                           -1).astype(np.float32) * vol.cell)
+    irr_v, dir_v = sample_volume(vol, jnp.asarray(corner_p))
+    irr_e, dir_e = _estimate_no_normal(grid, jnp.asarray(corner_p),
+                                       radius, k, 0, 128)
+    np.testing.assert_allclose(np.asarray(irr_v), np.asarray(irr_e),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_volume_close_to_exact_inside(scene, photons):
+    """At random interior points the trilinear field tracks the exact
+    estimator (same photons, smooth field)."""
+    from rtf_tpu.gi.volume import build_irradiance_volume, sample_volume
+    radius, k = 2.0, 400
+    grid = build_photon_grid(photons, radius,
+                             scene.world_min, scene.world_max)
+    vol = build_irradiance_volume(grid, radius, k,
+                                  scene.world_min, scene.world_max)
+    key = jax.random.PRNGKey(3)
+    lo = jnp.asarray(scene.world_min) + radius
+    hi = jnp.asarray(scene.world_max) - radius
+    q = jax.random.uniform(key, (256, 3)) * (hi - lo) + lo
+    up = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (256, 1))
+    irr_v, _ = sample_volume(vol, q)
+    irr_e, _ = estimate_irradiance(grid, q, up, radius, k)
+    # normal-test-free volume can only see MORE photons; overall scale
+    # must match within the field's smoothness
+    mv = float(jnp.mean(jnp.sum(irr_v, -1)))
+    me = float(jnp.mean(jnp.sum(irr_e, -1)))
+    assert mv > 0 and me > 0
+    assert 0.5 < mv / me < 2.5
