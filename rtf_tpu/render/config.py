@@ -40,6 +40,9 @@ class RenderConfig:
     caustic_bounces: int = 5
     knn_k: int = 400                # EstimateIrradiance<400> (main.cpp:699)
     knn_radius: float = 1.0
+    # hemisphere samples per DISPATCH on the fused host-chunked GI path
+    # (bounds per-dispatch runtime at full resolution)
+    gi_dispatch_chunk: int = 4
     # photon estimates via the precomputed irradiance volume
     # (gi/volume.py) on the fused path; False = exact per-point hash-grid
     # gathers on the XLA path

@@ -142,13 +142,13 @@ def scene_consts(scene):
         pack = _mxu_pack_cached(scene)
         for i in range(scene.num_mesh_inst):
             slot = scene.mesh_inst_slots[i]
-            row0, nt, aabbs, mlo, mhi = pack["slots"][slot]
+            row0, nt, mlo, mhi = pack["slots"][slot]
             mesh_insts.append(dict(
                 itm=mat3(scene.mesh_inst.itm[i]),
                 pos=vec(scene.mesh_inst.pos[i]),
                 nrm=mat3(scene.mesh_inst.nrm[i]),
                 mesh_lo=mlo, mesh_hi=mhi,
-                mxu=(row0, nt, aabbs)))
+                mxu=(row0, nt)))
 
     return dict(
         spheres=group(scene.spheres, scene.num_spheres),
@@ -186,7 +186,7 @@ def _mxu_pack(scene):
     nc_all = np.asarray(mesh.tri_nc)
     m_all = np.asarray(mesh.tri_mtl)
 
-    trit_parts, shade_parts, slots = [], [], {}
+    trit_parts, shade_parts, aabb_parts, slots = [], [], [], {}
     row0 = 0
     for slot, (f0, f1) in enumerate(mesh.slot_faces):
         a, b, c = a_all[f0:f1], b_all[f0:f1], c_all[f0:f1]
@@ -216,7 +216,11 @@ def _mxu_pack(scene):
 
         nt = max(1, (f + MXU_TILE - 1) // MXU_TILE)
         trit = np.zeros((nt, 16, 5 * MXU_TILE), np.float32)
-        shade = np.zeros((nt, 16, MXU_TILE), np.float32)
+        # winner-resolve rhs [T, 16]: the one-hot pick row picks these
+        # per-face columns via matmul.  Cols: 0-2 nc, 3-5 na-nc,
+        # 6-8 nb-nc (interp normal = nc + ba*(na-nc) + bb*(nb-nc)),
+        # 9 mtl, 10-12 geometric unit normal (front test).
+        shade = np.zeros((nt, MXU_TILE, 16), np.float32)
         aabbs = []
         tri_lo = np.minimum(np.minimum(a, b), c)
         tri_hi = np.maximum(np.maximum(a, b), c)
@@ -233,21 +237,26 @@ def _mxu_pack(scene):
             trit[j, 0:3, 3 * MXU_TILE:3 * MXU_TILE + w] = n[lo:hi].T
             trit[j, 6:9, 4 * MXU_TILE:4 * MXU_TILE + w] = -n[lo:hi].T
             trit[j, 9, 4 * MXU_TILE:4 * MXU_TILE + w] = na_d[lo:hi]
-            shade[j, 0:3, :w] = nav[lo:hi].T
-            shade[j, 3:6, :w] = nbv[lo:hi].T
-            shade[j, 6:9, :w] = ncv[lo:hi].T
-            shade[j, 9, :w] = mt[lo:hi]
+            shade[j, :w, 0:3] = ncv[lo:hi]
+            shade[j, :w, 3:6] = nav[lo:hi] - ncv[lo:hi]
+            shade[j, :w, 6:9] = nbv[lo:hi] - ncv[lo:hi]
+            shade[j, :w, 9] = mt[lo:hi]
+            shade[j, :w, 10:13] = n[lo:hi]
             aabbs.append(tuple(float(x) for x in tri_lo[lo:hi].min(0))
                          + tuple(float(x) for x in tri_hi[lo:hi].max(0)))
-        slots[slot] = (row0, nt, tuple(aabbs),
+        slots[slot] = (row0, nt,
                        tuple(float(x) for x in tri_lo.min(0)),
                        tuple(float(x) for x in tri_hi.max(0)))
         trit_parts.append(trit)
         shade_parts.append(shade)
+        aabb_rows = np.zeros((nt, 8), np.float32)
+        for j, bb in enumerate(aabbs):
+            aabb_rows[j, :6] = bb
+        aabb_parts.append(aabb_rows)
         row0 += nt
     return dict(trit=np.concatenate(trit_parts, axis=0),
                 shade=np.concatenate(shade_parts, axis=0),
-                slots=slots)
+                aabb=np.concatenate(aabb_parts, axis=0), slots=slots)
 
 
 def _mxu_pack_cached(scene):
@@ -275,12 +284,13 @@ def scene_mesh_mode(scene) -> str:
 
 
 def mxu_tables(scene):
-    """Device arrays (trit, shade) for fused_wave's mesh_tables arg, or
-    None when the scene is on the immediates path."""
+    """Device arrays (trit, shade, aabb) for fused_wave's mesh_tables
+    arg, or None when the scene is on the immediates path."""
     if scene_mesh_mode(scene) != "mxu":
         return None
     pack = _mxu_pack_cached(scene)
-    return (jnp.asarray(pack["trit"]), jnp.asarray(pack["shade"]))
+    return (jnp.asarray(pack["trit"]), jnp.asarray(pack["shade"]),
+            jnp.asarray(pack["aabb"]))
 
 
 _CONSTS_CACHE = {}
@@ -425,7 +435,7 @@ def _mesh_closest(o3, d3, consts, st, t_cap_scalar, mesh_refs=None):
     insts = consts["mesh_insts"]
     if insts and "mxu" in insts[0]:
         _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
-                          mesh_refs[0], mesh_refs[1])
+                          mesh_refs[0], mesh_refs[1], mesh_refs[2])
         return
     for inst in consts["mesh_insts"]:
         lo3 = _mat3_apply_const(inst["itm"],
@@ -487,7 +497,8 @@ def _mesh_anyhit(o3, d3, t_cap, consts, st, row, mesh_refs=None):
     caller initializes st[row] to zeros and reads it afterwards."""
     insts = consts["mesh_insts"]
     if insts and "mxu" in insts[0]:
-        _mesh_anyhit_mxu(o3, d3, t_cap, consts, st, row, mesh_refs[0])
+        _mesh_anyhit_mxu(o3, d3, t_cap, consts, st, row,
+                         mesh_refs[0], mesh_refs[2])
         return
     for inst in consts["mesh_insts"]:
         lo3 = _mat3_apply_const(inst["itm"],
@@ -569,18 +580,26 @@ def _to88(v):
     return jnp.reshape(v, (SUB, TRI_LANES))
 
 
+def _aabb_overlap_smem(aabb_ref, j, rlo, rhi):
+    """Reach-box vs tile AABB, tile box read as SMEM scalars."""
+    return ((rhi[0] >= aabb_ref[j, 0]) & (rlo[0] <= aabb_ref[j, 3])
+            & (rhi[1] >= aabb_ref[j, 1]) & (rlo[1] <= aabb_ref[j, 4])
+            & (rhi[2] >= aabb_ref[j, 2]) & (rlo[2] <= aabb_ref[j, 5]))
+
+
 def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
-                      trit_ref, shade_ref):
+                      trit_ref, shade_ref, aabb_ref):
     """Closest mesh hit, large-mesh path: per tile, ONE [1024,16] x
     [16,5*128] MXU matmul yields every ray x triangle Plücker sign and
     plane term; the VPU epilogue picks the per-ray winner and resolves
     its interpolated normal / material via sublane-broadcast shade rows
-    (shade table) — no gathers, compile size O(1) in face count.
+    (shade table) — no gathers.  The tile loop is a fori_loop over VMEM
+    tables with SMEM AABB culling (compile size O(1) in face count; a
+    python-unrolled version took >20 min to compile at 25 tiles).
     Same intersection semantics as ops/pallas_mesh_mxu (and therefore
     TriObj::IntersectTriangle, objects.h:162-268)."""
-    shape = (SUB, TRI_LANES)
     for inst in consts["mesh_insts"]:
-        row0, nt, aabbs = inst["mxu"]
+        row0, nt = inst["mxu"]
         lo3 = _mat3_apply_const(inst["itm"],
                                 o3[0] - inst["pos"][0],
                                 o3[1] - inst["pos"][1],
@@ -590,51 +609,69 @@ def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
                                 inst["mesh_lo"], inst["mesh_hi"])
         rays16 = _rays16(lo3, ld3)
         nrm = inst["nrm"]
-        for j, bb in enumerate(aabbs):
-            tile_ov = _box_overlap(rlo, rhi, bb[0:3], bb[3:6])
 
-            @pl.when(tile_ov)
-            def _(j=j, rays16=rays16, nrm=nrm):
-                t, valid, sa, sb, sc, dn = _mxu_pair(
-                    rays16, trit_ref[row0 + j])
+        def tile(j, acc, rays16=rays16, nrm=nrm, rlo=rlo, rhi=rhi,
+                 ld3=ld3):
+            @pl.when(_aabb_overlap_smem(aabb_ref, j, rlo, rhi))
+            def _():
+                t, valid, sa, sb, sc, dn = _mxu_pair(rays16, trit_ref[j])
                 tt = jnp.where(valid & (t < t_cap_scalar), t, BIG)
-                tmin = jnp.min(tt, axis=1, keepdims=True)     # [B,1]
-                col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
-                fid = jnp.where(tt == tmin, col, jnp.int32(2 ** 30))
-                fmin = jnp.min(fid, axis=1, keepdims=True)
-                pick = (col == fmin) & (tt == tmin)
-                ssum = sa + sb + sc
-                rs = 1.0 / jnp.where(ssum == 0.0, 1.0, ssum)
-                ba = sa * rs
-                bb_ = sb * rs
-                bc = 1.0 - ba - bb_
-                sh = shade_ref[row0 + j]                       # [16, T]
-                nlx = sh[0:1, :] * ba + sh[3:4, :] * bb_ + sh[6:7, :] * bc
-                nly = sh[1:2, :] * ba + sh[4:5, :] * bb_ + sh[7:8, :] * bc
-                nlz = sh[2:3, :] * ba + sh[5:6, :] * bb_ + sh[8:9, :] * bc
-                mtl_p = jnp.broadcast_to(sh[9:10, :], tt.shape)
-                fr_p = jnp.where(dn <= 0.0, 1.0, 0.0)
 
-                def sel(x):
-                    return _to88(jnp.sum(jnp.where(pick, x, 0.0), axis=1))
+                # winner resolve only when SOMETHING in the tile hit:
+                # AABB-overlapping tiles that produce no hits (most of
+                # them) pay only the matmul + this reduction
+                @pl.when(jnp.min(tt) < BIG)
+                def _():
+                    tmin = jnp.min(tt, axis=1, keepdims=True)  # [B,1]
+                    col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+                    fid = jnp.where(tt == tmin, col, jnp.int32(2 ** 30))
+                    fmin = jnp.min(fid, axis=1, keepdims=True)
+                    pick = jnp.where((col == fmin) & (tt == tmin),
+                                     1.0, 0.0)
+                    ssum = sa + sb + sc
+                    rs = 1.0 / jnp.where(ssum == 0.0, 1.0, ssum)
+                    # winner shade values via 3 one-hot matmuls against
+                    # the [T, 16] shade rhs — replaces 5 lane-reduction
+                    # selects (HIGHEST: normals/material must be exact)
+                    hp = jax.lax.Precision.HIGHEST
+                    sh = shade_ref[j]                          # [T, 16]
+                    s1 = jnp.dot(pick, sh,
+                                 preferred_element_type=jnp.float32,
+                                 precision=hp)
+                    s2 = jnp.dot(pick * (sa * rs), sh,
+                                 preferred_element_type=jnp.float32,
+                                 precision=hp)
+                    s3 = jnp.dot(pick * (sb * rs), sh,
+                                 preferred_element_type=jnp.float32,
+                                 precision=hp)
+                    # interp normal = nc + ba*(na-nc) + bb*(nb-nc)
+                    nl = [s1[:, c] + s2[:, 3 + c] + s3[:, 6 + c]
+                          for c in range(3)]
+                    t8 = _to88(tmin[:, 0])
+                    nl8 = [_to88(v) for v in nl]
+                    mtl8 = _to88(s1[:, 9])
+                    ng8 = [_to88(s1[:, 10 + c]) for c in range(3)]
+                    dn8 = (ld3[0] * ng8[0] + ld3[1] * ng8[1]
+                           + ld3[2] * ng8[2])
+                    wnx, wny, wnz = _mat3_apply_const(nrm, *nl8)
+                    ok = t8 < st[0]
+                    st[0] = jnp.where(ok, t8, st[0])
+                    st[1] = jnp.where(ok, wnx, st[1])
+                    st[2] = jnp.where(ok, wny, st[2])
+                    st[3] = jnp.where(ok, wnz, st[3])
+                    st[4] = jnp.where(ok, mtl8, st[4])
+                    st[5] = jnp.where(
+                        ok, jnp.where(dn8 <= 0.0, 1.0, 0.0), st[5])
+            return acc
 
-                t8 = _to88(tmin[:, 0])
-                wnx, wny, wnz = _mat3_apply_const(
-                    nrm, sel(nlx), sel(nly), sel(nlz))
-                ok = t8 < st[0]
-                st[0] = jnp.where(ok, t8, st[0])
-                st[1] = jnp.where(ok, wnx, st[1])
-                st[2] = jnp.where(ok, wny, st[2])
-                st[3] = jnp.where(ok, wnz, st[3])
-                st[4] = jnp.where(ok, sel(mtl_p), st[4])
-                st[5] = jnp.where(ok, sel(fr_p), st[5])
+        jax.lax.fori_loop(row0, row0 + nt, tile, 0)
 
 
-def _mesh_anyhit_mxu(o3, d3, t_cap, consts, st, row, trit_ref):
+def _mesh_anyhit_mxu(o3, d3, t_cap, consts, st, row, trit_ref, aabb_ref):
     """Mesh occlusion, large-mesh path (GenLight::Shadow t-window with
-    per-ray caps carried into pair space)."""
+    per-ray caps applied after the per-tile min-t reduction)."""
     for inst in consts["mesh_insts"]:
-        row0, nt, aabbs = inst["mxu"]
+        row0, nt = inst["mxu"]
         lo3 = _mat3_apply_const(inst["itm"],
                                 o3[0] - inst["pos"][0],
                                 o3[1] - inst["pos"][1],
@@ -643,21 +680,25 @@ def _mesh_anyhit_mxu(o3, d3, t_cap, consts, st, row, trit_ref):
         rlo, rhi = _block_reach(lo3, ld3, jnp.max(t_cap),
                                 inst["mesh_lo"], inst["mesh_hi"])
         rays16 = _rays16(lo3, ld3)
-        for j, bb in enumerate(aabbs):
-            tile_ov = _box_overlap(rlo, rhi, bb[0:3], bb[3:6])
-            tile_ov &= jnp.min(st[row]) < 1.0   # all occluded -> done
 
-            @pl.when(tile_ov)
-            def _(j=j, rays16=rays16):
+        def tile(j, acc, rays16=rays16, rlo=rlo, rhi=rhi):
+            ov = _aabb_overlap_smem(aabb_ref, j, rlo, rhi)
+            ov &= jnp.min(st[row]) < 1.0   # all occluded -> done
+
+            @pl.when(ov)
+            def _():
                 # per-ray t_cap can't ride into pair space (the [8,128]
                 # -> [1024,1] relayout is unsupported); equivalent test:
                 # min valid t in the tile < cap  <=>  some valid t < cap
-                t, valid, *_ = _mxu_pair(rays16, trit_ref[row0 + j])
+                t, valid, *_ = _mxu_pair(rays16, trit_ref[j])
                 tt = jnp.where(valid & (t > 1e-14), t, BIG)
                 tmin8 = _to88(jnp.min(tt, axis=1))
                 occ = (tmin8 < t_cap) & (tmin8 < BIG)
                 st[row] = jnp.maximum(
                     st[row], jnp.where(occ, 1.0, 0.0))
+            return acc
+
+        jax.lax.fori_loop(row0, row0 + nt, tile, 0)
 
 
 def _primitive_phase(o3, d3, t, n3, mtl, front, consts):
@@ -822,8 +863,8 @@ def _wave_kernel(seed_ref, rays_ref, *refs, consts, cfg_c, nbounce,
       them into irradiance-volume lookups (the deep-bounce photon
       estimate, main.cpp:694-705)."""
     if has_mesh_tables:
-        trit_ref, shade_ref, out_ref, st = refs
-        mesh_refs = (trit_ref, shade_ref)
+        trit_ref, shade_ref, aabb_ref, out_ref, st = refs
+        mesh_refs = (trit_ref, shade_ref, aabb_ref)
     else:
         out_ref, st = refs
         mesh_refs = None
@@ -976,27 +1017,34 @@ def _bounce_core(state, seed, st, consts, cfg_c, mesh_refs=None):
         spec = jnp.power(cos_nh, gloss)
 
         # shadow ray (GenLight::Shadow, main.cpp:499-513); for point
-        # lights with size > 0, soft shadows by averaging a fixed number
-        # of disk samples of the light sphere (lights.h:92-107; the disk
-        # basis rule at lights.h:74-88)
-        nsamp = 1
+        # lights with size > 0, soft shadows by disk samples of the
+        # light sphere (lights.h:92-107; the disk basis rule at
+        # lights.h:74-88) with the reference's ADAPTIVE escalation
+        # (lights.h:92-129): nsamp_min samples everywhere, the full
+        # nsamp_max only when the block contains penumbra lanes
+        nsamp_min = nsamp_max = 1
         if lt["kind"] == "point" and lt["size"] > 0.0:
-            nsamp = max(int(cfg_c["shadow_samples"]), 1)
-        vis = jnp.zeros(shape, jnp.float32)
-        for si in range(nsamp):
-            if nsamp == 1:
+            nsamp_max = max(int(cfg_c["shadow_samples"]), 1)
+            nsamp_min = min(max(int(cfg_c["shadow_min_samples"]), 1),
+                            nsamp_max)
+        soft = nsamp_max > 1
+        if soft:
+            # disk basis around the (per-lane) light direction
+            ux, uy, uz = _norm3(sdx, sdy, sdz)
+            use_y = ux > 0.8
+            v1x = jnp.where(use_y, uz, 0.0 * ux)
+            v1y = jnp.where(use_y, 0.0 * ux, uz)
+            v1z = jnp.where(use_y, -ux, -uy)
+            v1x, v1y, v1z = _norm3(v1x, v1y, v1z)
+            v2x = v1y * uz - v1z * uy
+            v2y = v1z * ux - v1x * uz
+            v2z = v1x * uy - v1y * ux
+
+        def shadow_sample(si):
+            """One shadow visibility sample (1 = lit)."""
+            if not soft:
                 tdx_s, tdy_s, tdz_s = sdx, sdy, sdz
             else:
-                # disk basis around the (per-lane) light direction
-                ux, uy, uz = _norm3(sdx, sdy, sdz)
-                use_y = ux > 0.8
-                v1x = jnp.where(use_y, uz, 0.0 * ux)
-                v1y = jnp.where(use_y, 0.0 * ux, uz)
-                v1z = jnp.where(use_y, -ux, -uy)
-                v1x, v1y, v1z = _norm3(v1x, v1y, v1z)
-                v2x = v1y * uz - v1z * uy
-                v2y = v1z * ux - v1x * uz
-                v2z = v1x * uy - v1y * ux
                 r = jnp.sqrt(_rand01(seed + 811 * si + 17, shape)) \
                     * lt["size"]
                 ang = _rand01(seed + 811 * si + 631, shape) \
@@ -1018,8 +1066,32 @@ def _bounce_core(state, seed, st, consts, cfg_c, mesh_refs=None):
             occ = _primitive_anyhit((sox, soy, soz),
                                     (tdx_s, tdy_s, tdz_s), tmax_v,
                                     st[0], consts)
-            vis = vis + (1.0 - occ)
-        vis = vis * (1.0 / nsamp)
+            return 1.0 - occ
+
+        # sample loops as fori_loop: compile size is ONE sample body
+        # regardless of counts (16 unrolled samples cost 200s+ compile)
+        if not soft:
+            vis = shadow_sample(0)
+        else:
+            vis1 = jax.lax.fori_loop(
+                0, nsamp_min, lambda si, v: v + shadow_sample(si),
+                jnp.zeros(shape, jnp.float32))
+            if nsamp_max > nsamp_min:
+                # penumbra lanes: first samples disagree
+                # (lights.h:108-115)
+                pen = hit & (vis1 > 0.0) & (vis1 < float(nsamp_min))
+                st[1] = jnp.zeros(shape, jnp.float32)
+
+                @pl.when(jnp.max(jnp.where(pen, 1.0, 0.0)) > 0.0)
+                def _():
+                    def extra(si, acc):
+                        st[1] = st[1] + shadow_sample(si)
+                        return acc
+                    jax.lax.fori_loop(nsamp_min, nsamp_max, extra, 0)
+                vis = jnp.where(pen, (vis1 + st[1]) * (1.0 / nsamp_max),
+                                vis1 * (1.0 / nsamp_min))
+            else:
+                vis = vis1 * (1.0 / nsamp_max)
         for c in range(3):
             lit_c = ((kd[c] + ks[c] * spec) * inten[c] * coef * inv_r2
                      * cos_nl)
@@ -1184,10 +1256,11 @@ def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None,
                  env_on_reflect_miss=cfg.env_on_reflect_miss,
                  total_reflection_threshold=cfg.total_reflection_threshold,
                  color_threshold=cfg.color_threshold,
-                 # soft shadows: fixed at the reference's escalated count
-                 # (lights.h:17-18; the adaptive 4->16 scheme escalates
-                 # penumbra lanes to max anyway)
-                 shadow_samples=cfg.shadow_max)
+                 # adaptive soft shadows (lights.h:17-18, 92-129):
+                 # shadow_min samples everywhere, escalate the block to
+                 # shadow_max when it contains penumbra lanes
+                 shadow_samples=cfg.shadow_max,
+                 shadow_min_samples=cfg.shadow_min)
     kern = functools.partial(_wave_kernel, consts=consts, cfg_c=cfg_c,
                              nbounce=nbounce, use_pid=not interpret,
                              surf_out=surf_out, gi_from=gi_from,
@@ -1199,12 +1272,14 @@ def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None,
     ]
     args = [seeds, rays_sh]
     if mesh_tables is not None:
-        trit, shade = mesh_tables
+        trit, shade, aabb = mesh_tables
         in_specs.append(pl.BlockSpec(trit.shape, lambda i: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(shade.shape, lambda i: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args += [trit, shade]
+        in_specs.append(pl.BlockSpec(aabb.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args += [trit, shade, aabb]
     out = pl.pallas_call(
         kern,
         grid=(nblk,),
@@ -1294,6 +1369,67 @@ def _hemisphere_dirs_ch(n3, key):
     return d, w
 
 
+def fused_gi_primary(cfg, consts, o3, d3, alive, seed, gi_vol=None,
+                     mesh_tables=None):
+    """Primary fused launch for GI: direct radiance (+ deep-bounce
+    irradiance-volume terms) and the first-hit surface rows needed to
+    fan out hemisphere samples later.  Returns (rad3, hit, z, surf)."""
+    use_photon = gi_vol is not None
+    rad3, hit0, z0, surf, queries = fused_wave(
+        cfg, consts, o3, d3, alive, seed,
+        surf_out=True, gi_from=1 if use_photon else None,
+        mesh_tables=mesh_tables)
+    if use_photon:
+        vt = _volume_terms(queries, gi_vol)
+        rad3 = tuple(rad3[c] + vt[c] for c in range(3))
+    return rad3, hit0, z0, surf
+
+
+def fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key, i0,
+                    n_chunk, gi_vol=None, mesh_tables=None):
+    """Hemisphere samples [i0, i0+n_chunk) of cfg.hemisphere_samples
+    total (each weighted 1/S), re-launched from the cached first-hit
+    surface.  Partial sums over disjoint ranges add up to exactly the
+    full fan-out, so the host can split the 30-sample loop into small
+    dispatches (the 800x600 full fan-out in ONE dispatch exceeds the
+    backend's per-dispatch runtime limits)."""
+    s = cfg.hemisphere_samples
+    use_photon = gi_vol is not None
+    p3 = surf[0:3]
+    n3 = surf[3:6]
+    kd3 = surf[6:9]
+    ke3 = surf[9:12]
+
+    def gi_chunk(carry, i):
+        kc = jax.random.fold_in(key, i)
+        dirs, w = _hemisphere_dirs_ch(n3, kc)
+        tput3 = tuple(ke3[c] * kd3[c] * w * (1.0 / s)
+                      for c in range(3))
+        alive_c = alive & hit0 & (
+            jnp.maximum(jnp.maximum(tput3[0], tput3[1]), tput3[2])
+            > 0.0)
+        o3c = _offset_origin(p3[0], p3[1], p3[2], n3[0], n3[1], n3[2],
+                             dirs[0], dirs[1], dirs[2])
+        out_c = fused_wave(
+            cfg, consts, o3c, dirs, alive_c,
+            seed + (i + 1) * 104729, tput3=tput3,
+            rtype=RT_REFRACT,
+            gi_from=0 if use_photon else None,
+            mesh_tables=mesh_tables)
+        if use_photon:
+            rc3, _, _, _, qs = out_c
+            vt_c = _volume_terms(qs, gi_vol)
+            rc3 = tuple(rc3[c] + vt_c[c] for c in range(3))
+        else:
+            rc3 = out_c[0]
+        return tuple(carry[c] + rc3[c] for c in range(3)), None
+
+    zero = jnp.zeros_like(p3[0])
+    racc, _ = jax.lax.scan(gi_chunk, (zero, zero, zero),
+                           i0 + jnp.arange(n_chunk))
+    return racc
+
+
 def fused_gi_wave(cfg, consts, o3, d3, alive, seed, key, gi_vol=None,
                   mesh_tables=None):
     """One GI sample wave on the fused path: primary launch (all Fresnel
@@ -1304,47 +1440,13 @@ def fused_gi_wave(cfg, consts, o3, d3, alive, seed, key, gi_vol=None,
     hemisphere loop (main.cpp:642-693) and deep-bounce photon estimate
     (main.cpp:694-705).  gi_vol=None covers the 'hemisphere'/'pathtrace'
     modes (no photon map).  Returns (rad3, hit, z) like fused_wave."""
-    use_photon = gi_vol is not None
-    rad3, hit0, z0, surf, queries = fused_wave(
-        cfg, consts, o3, d3, alive, seed,
-        surf_out=True, gi_from=1 if use_photon else None,
+    rad3, hit0, z0, surf = fused_gi_primary(
+        cfg, consts, o3, d3, alive, seed, gi_vol=gi_vol,
         mesh_tables=mesh_tables)
-    racc = list(rad3)
-    if use_photon:
-        vt = _volume_terms(queries, gi_vol)
-        racc = [racc[c] + vt[c] for c in range(3)]
-
     s = cfg.hemisphere_samples
     if s > 0:
-        p3 = surf[0:3]
-        n3 = surf[3:6]
-        kd3 = surf[6:9]
-        ke3 = surf[9:12]
-
-        def gi_chunk(carry, i):
-            kc = jax.random.fold_in(key, i)
-            dirs, w = _hemisphere_dirs_ch(n3, kc)
-            tput3 = tuple(ke3[c] * kd3[c] * w * (1.0 / s)
-                          for c in range(3))
-            alive_c = alive & hit0 & (
-                jnp.maximum(jnp.maximum(tput3[0], tput3[1]), tput3[2])
-                > 0.0)
-            o3c = _offset_origin(p3[0], p3[1], p3[2], n3[0], n3[1], n3[2],
-                                 dirs[0], dirs[1], dirs[2])
-            out_c = fused_wave(
-                cfg, consts, o3c, dirs, alive_c,
-                seed + (i + 1) * 104729, tput3=tput3,
-                rtype=RT_REFRACT,
-                gi_from=0 if use_photon else None,
-                mesh_tables=mesh_tables)
-            if use_photon:
-                rc3, _, _, _, qs = out_c
-                vt_c = _volume_terms(qs, gi_vol)
-                rc3 = tuple(rc3[c] + vt_c[c] for c in range(3))
-            else:
-                rc3 = out_c[0]
-            return tuple(carry[c] + rc3[c] for c in range(3)), None
-
-        racc, _ = jax.lax.scan(gi_chunk, tuple(racc), jnp.arange(s))
-        racc = list(racc)
-    return tuple(racc), hit0, z0
+        gi3 = fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key,
+                              0, s, gi_vol=gi_vol,
+                              mesh_tables=mesh_tables)
+        rad3 = tuple(rad3[c] + gi3[c] for c in range(3))
+    return rad3, hit0, z0

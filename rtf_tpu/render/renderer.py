@@ -144,6 +144,56 @@ def _wave_step(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
     return carry
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "fused_consts"))
+def _gi_primary_step(scene, cfg, mask_lanes, key, j, fused_consts,
+                     gi_vol=None, mesh_tables=None):
+    """Fused-GI sample, primary dispatch: direct radiance + first-hit
+    surface rows (the hemisphere fan-out follows in _gi_chunk_step
+    dispatches — one 800x600 sample with the full 20-30-sample fan-out
+    in a single dispatch exceeds the backend's runtime limits)."""
+    from rtf_tpu.render.fused import fused_gi_primary
+    w, h = scene.width, scene.height
+    order = jnp.asarray(pixel_order(w, h))
+    px = order % w
+    py = order // w
+    kj = jax.random.fold_in(key, j)
+    o3, d3 = primary_rays_ch(
+        scene, px, py, jnp.full_like(px, j), key=kj,
+        halton_bases=(cfg.halton_base_x, cfg.halton_base_y),
+        dof=scene.dof > 0)
+    seed32 = jax.random.randint(
+        jax.random.fold_in(kj, 7), (), 0, 2 ** 31 - 1).astype(jnp.int32)
+    rad3, hitl, zl, surf = fused_gi_primary(
+        cfg, fused_consts.obj, o3, d3, mask_lanes, seed32,
+        gi_vol=gi_vol, mesh_tables=mesh_tables)
+    return (jnp.stack(rad3, axis=0), hitl, zl, surf, seed32,
+            jax.random.fold_in(kj, 11))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "fused_consts", "n_chunk"))
+def _gi_chunk_step(cfg, fused_consts, contrib, surf, hitl, mask_lanes,
+                   seed32, kgi, i0, n_chunk, gi_vol=None,
+                   mesh_tables=None):
+    """n_chunk hemisphere samples starting at (traced) index i0, added
+    into the sample's contribution accumulator."""
+    from rtf_tpu.render.fused import fused_gi_chunks
+    gi3 = fused_gi_chunks(cfg, fused_consts.obj, surf, hitl, mask_lanes,
+                          seed32, kgi, i0, n_chunk, gi_vol=gi_vol,
+                          mesh_tables=mesh_tables)
+    return contrib + jnp.stack(gi3, axis=0)
+
+
+@jax.jit
+def _gi_fold(carry, contrib, hitl, zl):
+    rad, rad2, hits, z = carry
+    rad = rad + contrib
+    rad2 = rad2 + contrib * contrib
+    hits = hits + hitl.astype(jnp.int32)
+    z = jnp.minimum(z, jnp.where(hitl, zl, jnp.float32(1.0e30)))
+    return (rad, rad2, hits, z)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _need_mask(cfg, rad, rad2, hits):
     """Adaptive-AA refinement mask: per-pixel per-channel variance over
@@ -225,16 +275,43 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
     # the end.  Waves go out in batches of STEP per dispatch.
     STEP = 8
 
-    def run(carry, mask, kphase, lo, hi):
-        j = lo
-        while j < hi:
-            k = min(STEP, hi - j)
-            carry = _wave_step(carry, scene, cfg, mask, kphase, j,
-                               gi_grid=gi_grid, fused_consts=fused_consts,
-                               gi_vol=gi_vol, mesh_tables=mesh_tables,
-                               nsub=k)
-            j += k
-        return carry
+    gi_host = (fused_consts is not None and cfg.gi_mode != "none"
+               and cfg.hemisphere_samples > 0)
+    if gi_host:
+        # fused GI: per sample, one primary dispatch + the hemisphere
+        # fan-out in bounded chunks (keeps every dispatch well under the
+        # backend's runtime limit at full resolution)
+        s = cfg.hemisphere_samples
+        chunk = max(1, min(int(cfg.gi_dispatch_chunk), s))
+
+        def run(carry, mask, kphase, lo, hi):
+            for j in range(lo, hi):
+                contrib, hitl, zl, surf, seed32, kgi = _gi_primary_step(
+                    scene, cfg, mask, kphase, j, fused_consts,
+                    gi_vol=gi_vol, mesh_tables=mesh_tables)
+                i0 = 0
+                while i0 < s:
+                    nc = min(chunk, s - i0)
+                    contrib = _gi_chunk_step(
+                        cfg, fused_consts, contrib, surf, hitl, mask,
+                        seed32, kgi, jnp.int32(i0), nc, gi_vol=gi_vol,
+                        mesh_tables=mesh_tables)
+                    i0 += nc
+                carry = _gi_fold(carry, contrib, hitl, zl)
+            return carry
+    else:
+        def run(carry, mask, kphase, lo, hi):
+            j = lo
+            while j < hi:
+                k = min(STEP, hi - j)
+                carry = _wave_step(carry, scene, cfg, mask, kphase, j,
+                                   gi_grid=gi_grid,
+                                   fused_consts=fused_consts,
+                                   gi_vol=gi_vol,
+                                   mesh_tables=mesh_tables,
+                                   nsub=k)
+                j += k
+            return carry
 
     carry = run(carry, all_px, k1, 0, cfg.min_samples)
     rad, rad2, hits, z = carry

@@ -21,7 +21,10 @@ from rtf_tpu.scene.procedural import box_scene
 
 
 def _setup(w=32, h=24, with_mesh=True):
-    scene = build_scene(box_scene(width=w, height=h, with_mesh=with_mesh))
+    # mesh_subdiv=1 (80 faces): interpret mode executes the kernel
+    # eagerly op-by-op, so suite time scales with the triangle unroll
+    scene = build_scene(box_scene(width=w, height=h, with_mesh=with_mesh,
+                                  mesh_subdiv=1))
     cfg = RenderConfig(min_samples=8, max_samples=8, bounces=0,
                        shadow_min=1, shadow_max=1, gi_mode="none")
     order = jnp.asarray(pixel_order(w, h))
@@ -180,3 +183,37 @@ def test_fused_mxu_large_mesh_matches_xla():
     np.testing.assert_array_equal(
         np.asarray(hitl)[inv_np], np.asarray(out.hit_count) > 0)
     np.testing.assert_allclose(rad_f, np.asarray(out.radiance), atol=3e-4)
+
+
+def test_fused_soft_shadow_adaptive():
+    """Adaptive in-kernel soft shadows (shadow_min -> shadow_max
+    escalation, lights.h:92-129) track the fixed-count version."""
+    scene = build_scene(box_scene(width=32, height=24, with_mesh=False,
+                                  light_size=2.0))
+    w, h = scene.width, scene.height
+    order = jnp.asarray(pixel_order(w, h))
+    px, py = order % w, order // w
+    key = jax.random.PRNGKey(0)
+    o3, d3 = primary_rays_ch(scene, px, py, jnp.zeros_like(px), key=key,
+                             halton_bases=(2, 3))
+    n = w * h
+    alive = jnp.ones((n,), bool)
+    consts = scene_consts(scene)
+
+    def run(cfg):
+        rad3, hitl, zl = fused_wave(cfg, consts, o3, d3, alive,
+                                    jnp.int32(5), bounces=0)
+        return np.stack([np.asarray(c) for c in rad3], 1), np.asarray(hitl)
+
+    base = RenderConfig(min_samples=8, max_samples=8, bounces=0,
+                        gi_mode="none")
+    fixed, hit_f = run(base.with_(shadow_min=4, shadow_max=4))
+    adapt, hit_a = run(base.with_(shadow_min=2, shadow_max=4))
+    np.testing.assert_array_equal(hit_f, hit_a)
+    assert np.isfinite(adapt).all()
+    # identical away from penumbra, close in the mean overall
+    assert abs(adapt.mean() / fixed.mean() - 1.0) < 0.05
+    # soft shadows produce fractional visibility somewhere
+    lum = adapt.mean(-1)
+    frac = ((lum > 0.02) & (lum < 0.98 * lum.max())).mean()
+    assert frac > 0.1
