@@ -58,7 +58,8 @@ def make_mesh(n_tile: int = None, n_spp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("tile", "spp"))
 
 
-def render_sharded(scene, cfg, mesh: Mesh, seed: int = 0):
+def render_sharded(scene, cfg, mesh: Mesh, seed: int = 0,
+                   fused: bool = None):
     """Render scene.width x scene.height with spp = cfg.min_samples x
     (spp axis size), sharded over the mesh. Returns (radiance [P,3],
     hit_count [P], z [P]) fully replicated on the host.
@@ -67,7 +68,18 @@ def render_sharded(scene, cfg, mesh: Mesh, seed: int = 0):
     each "spp" rank renders a disjoint set of sample indices for those
     pixels.  Combine: sum radiance/hits (psum over "spp"), then
     all_gather tiles.
+
+    fused=True (default: auto via fusable()) runs the Pallas wave kernel
+    per shard instead of the XLA wavefront: each tile rank owns a
+    contiguous chunk of LANE space (camera.pixel_order), so the kernel's
+    block packing is a plain reshape per shard.  Scene immediates are
+    compile-time constants and the mesh tables are closed-over arrays —
+    replicated, no collectives; only the spp-axis psum touches ICI.
     """
+    from rtf_tpu.render.camera import pixel_order, primary_rays_ch
+    from rtf_tpu.render.fused import (
+        frozen_consts, fusable, mxu_tables, fused_wave, fused_gi_wave,
+    )
     w, h = scene.width, scene.height
     num_px = w * h
     n_tile = mesh.shape["tile"]
@@ -75,7 +87,17 @@ def render_sharded(scene, cfg, mesh: Mesh, seed: int = 0):
     assert num_px % n_tile == 0, "pixel count must divide the tile axis"
     px_per_shard = num_px // n_tile
 
-    pix_global = jnp.arange(num_px, dtype=jnp.int32)
+    if fused is None:
+        # photon-volume GI needs a prebuilt volume this entry doesn't
+        # plumb yet; route it to the XLA path
+        fused = fusable(scene, cfg) and cfg.gi_mode != "photon"
+    if fused:
+        consts = frozen_consts(scene)
+        mesh_tables = mxu_tables(scene)
+        order = jnp.asarray(pixel_order(w, h))
+        pix_global = order
+    else:
+        pix_global = jnp.arange(num_px, dtype=jnp.int32)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -94,17 +116,40 @@ def render_sharded(scene, cfg, mesh: Mesh, seed: int = 0):
         for j in range(cfg.min_samples):
             sample_idx = spp_rank * cfg.min_samples + j
             kj = jax.random.fold_in(jax.random.fold_in(key, sample_idx), 13)
-            o, d = primary_rays(scene, px, py,
-                                jnp.full_like(px, sample_idx),
-                                key=kj,
-                                halton_bases=(cfg.halton_base_x,
-                                              cfg.halton_base_y),
-                                dof=scene.dof > 0)
-            out = render_wave(scene, cfg, o, d, local_ids, mask,
-                              jax.random.fold_in(kj, 7), px_per_shard)
-            rad = rad + out.radiance
-            hits = hits + out.hit_count
-            z = jnp.minimum(z, out.z_min)
+            if fused:
+                o3, d3 = primary_rays_ch(
+                    scene, px, py, jnp.full_like(px, sample_idx), key=kj,
+                    halton_bases=(cfg.halton_base_x, cfg.halton_base_y),
+                    dof=scene.dof > 0)
+                tile_rank = jax.lax.axis_index("tile")
+                seed32 = (jax.random.randint(
+                    jax.random.fold_in(kj, 7), (), 0, 2 ** 31 - 1
+                ).astype(jnp.int32) + spp_rank * 15485863
+                    + tile_rank * 32452843)
+                if cfg.gi_mode == "none":
+                    rad3, hitl, zl = fused_wave(
+                        cfg, consts.obj, o3, d3, mask, seed32,
+                        mesh_tables=mesh_tables)
+                else:
+                    rad3, hitl, zl = fused_gi_wave(
+                        cfg, consts.obj, o3, d3, mask, seed32,
+                        jax.random.fold_in(kj, 11),
+                        mesh_tables=mesh_tables)
+                rad = rad + jnp.stack(rad3, axis=-1)
+                hits = hits + hitl.astype(jnp.int32)
+                z = jnp.minimum(z, jnp.where(hitl, zl, BIGFLOAT))
+            else:
+                o, d = primary_rays(scene, px, py,
+                                    jnp.full_like(px, sample_idx),
+                                    key=kj,
+                                    halton_bases=(cfg.halton_base_x,
+                                                  cfg.halton_base_y),
+                                    dof=scene.dof > 0)
+                out = render_wave(scene, cfg, o, d, local_ids, mask,
+                                  jax.random.fold_in(kj, 7), px_per_shard)
+                rad = rad + out.radiance
+                hits = hits + out.hit_count
+                z = jnp.minimum(z, out.z_min)
         # combine the independent sample batches over ICI
         rad = jax.lax.psum(rad, "spp")
         hits = jax.lax.psum(hits, "spp")
@@ -113,4 +158,10 @@ def render_sharded(scene, cfg, mesh: Mesh, seed: int = 0):
 
     key = jax.random.PRNGKey(seed)
     fn = jax.jit(shard_fn)
-    return fn(key, pix_global)
+    rad, hits, z = fn(key, pix_global)
+    if fused:
+        # lane space -> pixel-id space (scatter by the tile order)
+        inv = jnp.zeros((num_px,), jnp.int32).at[pix_global].set(
+            jnp.arange(num_px, dtype=jnp.int32))
+        rad, hits, z = rad[inv], hits[inv], z[inv]
+    return rad, hits, z

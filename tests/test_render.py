@@ -88,6 +88,31 @@ def test_multichip_dryrun_matches_singlechip():
     assert (np.asarray(hits) >= 1).all()   # closed box: everything hits
 
 
+def test_multichip_fused_matches_xla_sharded():
+    """The fused (Pallas) sharded path agrees with the XLA sharded path
+    on a deterministic config (bounces=0, hard shadows)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rtf_tpu.parallel.mesh import make_mesh, render_sharded
+    # mesh-free scene: in interpret mode the Pallas kernel executes
+    # eagerly op-by-op, so the unrolled-triangle kernel under an 8-way
+    # shard_map costs minutes; the mesh path is covered by test_fused
+    scene = build_scene(box_scene(32, 24, with_mesh=False))
+    cfg = FAST.with_(min_samples=2, max_samples=2, bounces=0,
+                     shadow_min=1, shadow_max=1, gi_mode="none",
+                     split_mode="rr")
+    mesh = make_mesh(n_tile=2, n_spp=2, devices=jax.devices()[:4])
+    rad_f, hits_f, z_f = render_sharded(scene, cfg, mesh, seed=0,
+                                        fused=True)
+    rad_x, hits_x, z_x = render_sharded(scene, cfg, mesh, seed=0,
+                                        fused=False)
+    np.testing.assert_array_equal(np.asarray(hits_f), np.asarray(hits_x))
+    np.testing.assert_allclose(np.asarray(rad_f), np.asarray(rad_x),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_x),
+                               atol=1e-4)
+
+
 def test_render_gi_hemisphere_adds_bounce_light(small_scene):
     """Indirect light must brighten the scene vs direct-only."""
     base = render(small_scene, FAST)
