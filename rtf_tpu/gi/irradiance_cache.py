@@ -1,0 +1,251 @@
+"""Progressive screen-space irradiance cache (SURVEY #20).
+
+The reference ships `cyIrradianceMap.h` (cyIrradianceMap.h:30-241): a
+coarse-to-fine screen-space cache of first-hit irradiance — compute the
+expensive GI estimate at a sparse pixel grid, subdivide only where the
+cached values (or the underlying geometry: z, normal) disagree, and
+bilinearly reconstruct everywhere else.  It is present in Proj11+ but
+never wired in (the include is commented out, RayTracingProj11/
+RayTracingProj11/main.cpp:9); we implement it as a working, optional GI
+accelerator.
+
+TPU-native redesign (no mutex-guarded point iterator, no progressive
+phase callbacks):
+
+* every level is ONE masked megabatch: the set of grid points that
+  need computing is compacted into a fixed-size budget with
+  `jnp.nonzero(size=...)` (static shapes under jit), evaluated in a
+  single hemisphere-sampling wave, and scattered back;
+* the subdivide-vs-interpolate decision (cyIrradianceMap.h:163-207,
+  the `Estimate`/`ComputePoint` split) becomes a per-point gate on the
+  4 enclosing parents: irradiance spread > tol, OR depth spread, OR
+  normal disagreement (the ColorZNormal specialization's criteria,
+  cyIrradianceMap.h:330-369) — points that pass are bilinearly
+  interpolated and never traced;
+* final reconstruction is the same bilinear interpolation at every
+  pixel (cyIrradianceMap.h:117-161).
+
+The cached quantity is incoming irradiance E (sum of L_in * cos / S
+over cosine-weighted hemisphere samples, the distribution of
+main.cpp:643-654) WITHOUT the kd factor, so the reconstruction
+multiplies the per-pixel (possibly textured) kd afterwards — smoother
+cache, exact texture detail.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtf_tpu.core.math import BIGFLOAT, dot, normalize, offset_origin
+from rtf_tpu.render.integrator import (
+    RT_REFRACT, _rr_select, _run_bounces_rr, shade_lanes,
+)
+from rtf_tpu.ops.trace import trace, resolve_surface
+from rtf_tpu.render.camera import pixel_grid, primary_rays
+from rtf_tpu.render.shade import sample_material
+
+
+class IrradianceCache(NamedTuple):
+    E: jnp.ndarray          # [P,3] irradiance at pixel-center first hits
+    computed: jnp.ndarray   # [P] bool — traced (True) vs interpolated
+    kd: jnp.ndarray         # [P,3] first-hit diffuse (textured)
+    hit: jnp.ndarray        # [P] bool
+    front: jnp.ndarray      # [P] bool
+    z: jnp.ndarray          # [P] first-hit depth (BIGFLOAT = miss)
+    n: jnp.ndarray          # [P,3] first-hit shading normal
+
+
+def _first_hits(scene, key):
+    """Pixel-center primary hits: (p, n, z, kd, hit, front)."""
+    w, h = scene.width, scene.height
+    px, py = pixel_grid(w, h)
+    o, d = primary_rays(scene, px, py, jnp.zeros_like(px))
+    hit = trace(scene, o, d)
+    surf = resolve_surface(scene, o, d, hit)
+    mtl = sample_material(scene, surf.mtl, surf.uvw)
+    z = jnp.where(surf.valid, surf.t, BIGFLOAT)
+    return surf.p, surf.n, z, mtl.kd, surf.valid, surf.front
+
+
+def _eval_irradiance(scene, cfg, p, n, mask, key):
+    """E at `p`/`n` ([B,3]): cfg.hemisphere_samples cosine-weighted
+    hemisphere rays, each fully shaded through the bounce chain (the
+    first-bounce GI loop of main.cpp:642-693 with kd divided out)."""
+    b = p.shape[0]
+    s = max(int(cfg.hemisphere_samples), 1)
+    lane = jnp.arange(b, dtype=jnp.int32)
+
+    v1 = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+    v2 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    use1 = (dot(n, jnp.broadcast_to(v1, n.shape)) < 0.4)[:, None]
+    tx = normalize(jnp.where(use1, jnp.cross(n, v1), jnp.cross(n, v2)))
+    ty = jnp.cross(n, tx)
+
+    def body(acc, i):
+        ki = jax.random.fold_in(key, i)
+        k1, k2 = jax.random.split(ki)
+        phi = jax.random.uniform(k1, (b,)) * (2.0 * jnp.pi)
+        ysq = jax.random.uniform(k2, (b,))
+        sin_t = jnp.sqrt(ysq)
+        cos_t = jnp.sqrt(1.0 - ysq)
+        hdir = normalize(tx * (sin_t * jnp.cos(phi))[:, None]
+                         + ty * (sin_t * jnp.sin(phi))[:, None]
+                         + n * cos_t[:, None])
+        wcos = jnp.maximum(0.0, dot(hdir, n))
+        tput = jnp.broadcast_to((wcos / s)[:, None], (b, 3))
+        alive = mask & (wcos > 0.0)
+        o = offset_origin(p, n, hdir)
+        kc = jax.random.fold_in(ki, 3)
+        res = shade_lanes(scene, cfg, o, hdir, tput,
+                          jnp.zeros((b, 3), jnp.float32), lane, alive,
+                          jnp.full((b,), RT_REFRACT, jnp.int32), kc)
+        acc = acc + res.radiance
+        q = _rr_select(res.children, jax.random.fold_in(kc, 31))
+        acc = acc + _run_bounces_rr(scene, cfg, q,
+                                    jax.random.fold_in(kc, 32))
+        return acc, None
+
+    E, _ = jax.lax.scan(body, jnp.zeros((b, 3), jnp.float32),
+                        jnp.arange(s))
+    return E
+
+
+def _grid_points(w, h, s):
+    """Pixel ids of the level-s grid (x and y multiples of s, clamped
+    last row/column so the grid always covers the image edge)."""
+    xs = np.unique(np.minimum(np.arange(0, w + s - 1, s), w - 1))
+    ys = np.unique(np.minimum(np.arange(0, h + s - 1, s), h - 1))
+    gx, gy = np.meshgrid(xs, ys, indexing="xy")
+    return (gy * w + gx).reshape(-1), xs, ys
+
+
+def _bilerp_from_level(E_img, z_img, n_img, w, h, xs, ys, qx, qy):
+    """Bilinear E at pixels (qx,qy) from the grid columns xs / rows ys
+    (numpy static), plus the parents' spread diagnostics for gating."""
+    xs_j = jnp.asarray(xs)
+    ys_j = jnp.asarray(ys)
+    ix = jnp.clip(jnp.searchsorted(xs_j, qx, side="right") - 1,
+                  0, len(xs) - 2)
+    iy = jnp.clip(jnp.searchsorted(ys_j, qy, side="right") - 1,
+                  0, len(ys) - 2)
+    x0, x1 = xs_j[ix], xs_j[ix + 1]
+    y0, y1 = ys_j[iy], ys_j[iy + 1]
+    fx = (qx - x0) / jnp.maximum(x1 - x0, 1)
+    fy = (qy - y0) / jnp.maximum(y1 - y0, 1)
+
+    p00 = y0 * w + x0
+    p10 = y0 * w + x1
+    p01 = y1 * w + x0
+    p11 = y1 * w + x1
+    c = [E_img[p00], E_img[p10], E_img[p01], E_img[p11]]
+    wgt = [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy]
+    E = sum(ci * wi[:, None] for ci, wi in zip(c, wgt))
+
+    stack = jnp.stack(c)                          # [4,B,3]
+    spread = jnp.max(jnp.max(stack, 0) - jnp.min(stack, 0), axis=-1)
+    zc = jnp.stack([z_img[p00], z_img[p10], z_img[p01], z_img[p11]])
+    z_lo, z_hi = jnp.min(zc, 0), jnp.max(zc, 0)
+    z_spread = (z_hi - z_lo) / jnp.maximum(z_lo, 1e-6)
+    nc = jnp.stack([n_img[p00], n_img[p10], n_img[p01], n_img[p11]])
+    n_mean = normalize(jnp.mean(nc, axis=0))
+    n_dot = jnp.min(jnp.sum(nc * n_mean[None], axis=-1), axis=0)
+    return E, spread, z_spread, n_dot
+
+
+def build_irradiance_cache(scene, cfg, key, max_spacing: int = 16,
+                           tol: float = 0.1, z_tol: float = 0.1,
+                           n_tol: float = 0.9,
+                           budget_frac: float = 0.35) -> IrradianceCache:
+    """Coarse-to-fine cache build.  Level 0 computes every point of the
+    max_spacing grid; each halving level computes only gated points
+    (budgeted compaction), interpolating the rest from the parents."""
+    w, h = scene.width, scene.height
+    num_px = w * h
+    kf, ke = jax.random.split(jax.random.PRNGKey(0) if key is None
+                              else key)
+    p, n, z, kd, hitm, front = _first_hits(scene, kf)
+
+    E_img = jnp.zeros((num_px, 3), jnp.float32)
+    computed = jnp.zeros((num_px,), bool)
+
+    # level schedule: max_spacing, /2, ..., 1
+    spacings = []
+    s = max(int(max_spacing), 1)
+    while s >= 1:
+        spacings.append(s)
+        s //= 2
+
+    prev_xs = prev_ys = None
+    for li, s in enumerate(spacings):
+        ids_np, xs, ys = _grid_points(w, h, s)
+        ids = jnp.asarray(ids_np)
+        qx = ids % w
+        qy = ids // w
+        if li == 0:
+            need = jnp.ones((ids.shape[0],), bool)
+            E_interp = jnp.zeros((ids.shape[0], 3), jnp.float32)
+        else:
+            E_interp, spread, z_spread, n_dot = _bilerp_from_level(
+                E_img, z, n, w, h, prev_xs, prev_ys, qx, qy)
+            need = ((spread > tol) | (z_spread > z_tol)
+                    | (n_dot < n_tol)) & ~computed[ids]
+        need = need & hitm[ids] & front[ids]
+
+        if li == 0:
+            comp_ids = ids
+            comp_mask = need
+            E_new = _eval_irradiance(
+                scene, cfg, p[comp_ids], n[comp_ids], comp_mask,
+                jax.random.fold_in(ke, li))
+            E_img = E_img.at[comp_ids].set(
+                jnp.where(comp_mask[:, None], E_new, E_interp))
+            computed = computed.at[comp_ids].set(comp_mask)
+        else:
+            # everything gets its interpolated value first ...
+            fresh = ~computed[ids]
+            E_img = E_img.at[ids].set(
+                jnp.where(fresh[:, None], E_interp, E_img[ids]))
+            # ... then the gated subset is traced within a fixed budget
+            budget = max(int(ids.shape[0] * budget_frac), 256)
+            budget = min(budget, int(ids.shape[0]))
+            sel = jnp.nonzero(need, size=budget, fill_value=0)[0]
+            # entries past the true count are fill padding -> mask off
+            comp_mask = (jnp.arange(budget) < jnp.sum(need)) & need[sel]
+            comp_ids = ids[sel]
+            E_new = _eval_irradiance(
+                scene, cfg, p[comp_ids], n[comp_ids], comp_mask,
+                jax.random.fold_in(ke, li))
+            E_img = E_img.at[comp_ids].set(
+                jnp.where(comp_mask[:, None], E_new, E_img[comp_ids]))
+            computed = computed.at[comp_ids].set(
+                comp_mask | computed[comp_ids])
+        prev_xs, prev_ys = xs, ys
+
+    return IrradianceCache(E=E_img, computed=computed, kd=kd, hit=hitm,
+                           front=front, z=z, n=n)
+
+
+def indirect_image(cache: IrradianceCache) -> jnp.ndarray:
+    """Per-pixel indirect term kd * E (the reference's usage site would
+    be the kd * irradiance product of main.cpp:700-705)."""
+    ok = (cache.hit & cache.front)[:, None]
+    return jnp.where(ok, cache.kd * cache.E, 0.0)
+
+
+def render_with_cache(scene, cfg, key=None, **cache_kw):
+    """Full render with cached GI: direct pass (gi_mode none) + the
+    cache's indirect image added per sample.  Returns RenderResult."""
+    from rtf_tpu.render.renderer import finalize, render_device_host
+    key = jax.random.PRNGKey(cfg.seed) if key is None else key
+    kc, kr = jax.random.split(key)
+    cache = build_irradiance_cache(scene, cfg, kc, **cache_kw)
+    ind = indirect_image(cache)
+    cfg_direct = cfg.with_(gi_mode="none")
+    rad, hits, z, ns = render_device_host(scene, cfg_direct, kr)
+    # rad is [3,P] pixel-id space summed over samples; the indirect term
+    # is per-pixel constant, so add it weighted by the sample count
+    rad = rad + ind.T * hits[None, :].astype(jnp.float32)
+    return finalize(scene, cfg, rad, hits, z, ns), cache
