@@ -13,6 +13,13 @@ The reference's 32-sample elliptic footprint filter (scene.h:331-349) is
 dead code in practice: duvw is initialized to zero (scene.h:163) and
 `calculateduvw` is disabled in every project, so Sample(uvw,duvw) always
 takes the single-sample early-out.  We therefore sample once per hit.
+
+TPU layout notes (measured on v5e over the tunneled backend): a gather
+of 480k indices costs ~35 ms REGARDLESS of table size or layout, while
+an elementwise op on the same lanes is ~2 ms.  So (a) per-texture /
+per-map table attributes use unrolled where-chains instead of gathers
+(tables are tiny), and (b) the four bilinear corners ride ONE gather of
+[4N] linearized indices into the flattened atlas instead of four.
 """
 from __future__ import annotations
 
@@ -22,58 +29,83 @@ from rtf_tpu.core.math import mat3_apply_batched
 
 from rtf_tpu.scene.build import TEX_CHECKER, TEX_FILE
 
+_SEL_MAX = 32   # unrolled-select budget; larger tables fall back to take
+
+
+def _sel_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] without a gather for small tables: an unrolled
+    where-chain over rows (X elementwise selects beat one gather by
+    ~20x at wavefront sizes)."""
+    x = table.shape[0]
+    if x > _SEL_MAX:
+        return jnp.take(table, jnp.clip(idx, 0, x - 1), axis=0)
+    extra = (1,) * (table.ndim - 1)
+    out = jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+    for i in range(1, x):
+        m = (idx == i).reshape(idx.shape + extra)
+        out = jnp.where(m, table[i], out)
+    return out
+
+
+def sample_texture(scene, tex_id: jnp.ndarray, uvw: jnp.ndarray) -> jnp.ndarray:
+    """Sample texture(s) `tex_id` [N] at uvw [N,3] -> [N,3]."""
+    tx = scene.textures
+    kind = _sel_rows(tx.kind, tex_id)
+
+    u = _tile(uvw[..., 0])
+    v = _tile(uvw[..., 1])
+
+    # ---- file texture: tiled bilinear, all 4 corners in ONE gather
+    if scene.has_file_tex:
+        w = _sel_rows(tx.width, tex_id)
+        h = _sel_rows(tx.height, tex_id)
+        row0 = _sel_rows(tx.row0, tex_id)
+        x = w * u
+        y = h * v
+        ix = jnp.floor(x).astype(jnp.int32)
+        iy = jnp.floor(y).astype(jnp.int32)
+        fx = x - ix
+        fy = y - iy
+        ix = jnp.clip(ix, 0, w - 1)
+        iy = jnp.clip(iy, 0, h - 1)
+        ixp = jnp.where(ix + 1 >= w, 0, ix + 1)
+        iyp = jnp.where(iy + 1 >= h, 0, iy + 1)
+        atlas = tx.atlas
+        aw = atlas.shape[1]
+        flat = atlas.reshape(-1, 3)
+        lin = jnp.stack([(row0 + iy) * aw + ix,
+                         (row0 + iy) * aw + ixp,
+                         (row0 + iyp) * aw + ix,
+                         (row0 + iyp) * aw + ixp])          # [4, N]
+        cs = jnp.take(flat, lin.reshape(-1), axis=0)
+        cs = cs.reshape((4,) + u.shape + (3,))
+        fxe = fx[..., None]
+        fye = fy[..., None]
+        file_col = (cs[0] * (1 - fxe) * (1 - fye) + cs[1] * fxe * (1 - fye)
+                    + cs[2] * (1 - fxe) * fye + cs[3] * fxe * fye)
+    else:
+        file_col = jnp.zeros(u.shape + (3,), jnp.float32)
+
+    # ---- checker
+    odd = (u <= 0.5) ^ (v <= 0.5)
+    chk_col = jnp.where(odd[..., None], _sel_rows(tx.c2, tex_id),
+                        _sel_rows(tx.c1, tex_id))
+
+    return jnp.where((kind == TEX_FILE)[..., None], file_col, chk_col)
+
 
 def _tile(u):
     """TileClamp (scene.h:356-366): fractional part in [0,1)."""
     return u - jnp.floor(u)
 
 
-def sample_texture(scene, tex_id: jnp.ndarray, uvw: jnp.ndarray) -> jnp.ndarray:
-    """Sample texture(s) `tex_id` [N] at uvw [N,3] -> [N,3]."""
-    tx = scene.textures
-    kind = tx.kind[tex_id]
-    w = tx.width[tex_id]
-    h = tx.height[tex_id]
-    row0 = tx.row0[tex_id]
-
-    u = _tile(uvw[..., 0])
-    v = _tile(uvw[..., 1])
-
-    # ---- file texture: tiled bilinear
-    x = w * u
-    y = h * v
-    ix = jnp.floor(x).astype(jnp.int32)
-    iy = jnp.floor(y).astype(jnp.int32)
-    fx = x - ix
-    fy = y - iy
-    ix = jnp.clip(ix, 0, w - 1)
-    iy = jnp.clip(iy, 0, h - 1)
-    ixp = jnp.where(ix + 1 >= w, 0, ix + 1)
-    iyp = jnp.where(iy + 1 >= h, 0, iy + 1)
-    atlas = scene.textures.atlas
-    c00 = atlas[row0 + iy, ix]
-    c10 = atlas[row0 + iy, ixp]
-    c01 = atlas[row0 + iyp, ix]
-    c11 = atlas[row0 + iyp, ixp]
-    fxe = fx[..., None]
-    fye = fy[..., None]
-    file_col = (c00 * (1 - fxe) * (1 - fye) + c10 * fxe * (1 - fye)
-                + c01 * (1 - fxe) * fye + c11 * fxe * fye)
-
-    # ---- checker
-    odd = (u <= 0.5) ^ (v <= 0.5)
-    chk_col = jnp.where(odd[..., None], tx.c2[tex_id], tx.c1[tex_id])
-
-    return jnp.where((kind == TEX_FILE)[..., None], file_col, chk_col)
-
-
 def sample_texmap(scene, tm_id: jnp.ndarray, uvw: jnp.ndarray) -> jnp.ndarray:
     """Sample texmap(s) with uvw transform; tm_id == -1 -> 1.0 (no map)."""
     safe = jnp.maximum(tm_id, 0)
-    itm = scene.texmaps.itm[safe]
-    pos = scene.texmaps.pos[safe]
+    itm = _sel_rows(scene.texmaps.itm, safe)
+    pos = _sel_rows(scene.texmaps.pos, safe)
     u = mat3_apply_batched(itm, uvw - pos)
-    col = sample_texture(scene, scene.texmaps.tex[safe], u)
+    col = sample_texture(scene, _sel_rows(scene.texmaps.tex, safe), u)
     return jnp.where((tm_id >= 0)[..., None], col, jnp.ones_like(col))
 
 
@@ -98,6 +130,8 @@ def env_uvw(direction: jnp.ndarray) -> jnp.ndarray:
 def sample_environment(scene, direction: jnp.ndarray) -> jnp.ndarray:
     """environment.SampleEnvironment(dir) with scene.env color & map."""
     n = direction.shape[0]
+    if scene.env_tm < 0:     # static: no map -> plain color, no sampling
+        return jnp.broadcast_to(scene.env_color, (n, 3))
     uvw = env_uvw(direction)
     tm = jnp.full((n,), scene.env_tm, jnp.int32)
     return sample_textured_color(scene, scene.env_color, tm, uvw)
@@ -105,5 +139,7 @@ def sample_environment(scene, direction: jnp.ndarray) -> jnp.ndarray:
 
 def sample_background(scene, uvw: jnp.ndarray) -> jnp.ndarray:
     n = uvw.shape[0]
+    if scene.bg_tm < 0:      # static: no map -> plain color
+        return jnp.broadcast_to(scene.bg_color, (n, 3))
     tm = jnp.full((n,), scene.bg_tm, jnp.int32)
     return sample_textured_color(scene, scene.bg_color, tm, uvw)

@@ -329,14 +329,15 @@ def resolve_surface(scene, o, d, hit: Hit) -> Surface:
     mtl = jnp.zeros((n_rays,), jnp.int32)
 
     def group_attrs(group, attr_fn):
-        itm = group.itm[hit.inst]
-        pos = group.pos[hit.inst]
-        nrm = group.nrm[hit.inst]
+        from rtf_tpu.ops.texture import _sel_rows
+        itm = _sel_rows(group.itm, hit.inst)
+        pos = _sel_rows(group.pos, hit.inst)
+        nrm = _sel_rows(group.nrm, hit.inst)
         lo = mat3_apply_batched(itm, o - pos)
         ld = mat3_apply_batched(itm, d)
         _, ln, luv = attr_fn(lo, ld, hit.t)
         wn = normalize(mat3_apply_batched(nrm, ln))
-        return wn, luv, group.mtl[hit.inst]
+        return wn, luv, _sel_rows(group.mtl, hit.inst)
 
     if scene.num_spheres > 0:
         wn, luv, m = group_attrs(scene.spheres, sphere_attributes)
@@ -363,7 +364,8 @@ def resolve_surface(scene, o, d, hit: Hit) -> Surface:
         at = mesh.attr_t[f]
         ln = an[:, 0:3] * ba + an[:, 3:6] * bb + an[:, 6:9] * bc
         luv = at[:, 0:3] * ba + at[:, 3:6] * bb + at[:, 6:9] * bc
-        nrm = scene.mesh_inst.nrm[hit.inst]
+        from rtf_tpu.ops.texture import _sel_rows
+        nrm = _sel_rows(scene.mesh_inst.nrm, hit.inst)
         wn = normalize(mat3_apply_batched(nrm, ln))
         mask = (hit.kind == KIND_MESH)[:, None]
         nrm_w = jnp.where(mask, wn, nrm_w)

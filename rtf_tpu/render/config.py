@@ -38,6 +38,9 @@ class RenderConfig:
     photon_bounces: int = 8         # PHOTON_BOUNCE
     caustic_count: int = 1_000_000
     caustic_bounces: int = 5
+    # caustic kNN radius (the commented-out estimate in the reference
+    # uses 0.5, RayTracingProj13/.../main.cpp:521)
+    caustic_radius: float = 0.5
     knn_k: int = 400                # EstimateIrradiance<400> (main.cpp:699)
     knn_radius: float = 1.0
     # hemisphere samples per DISPATCH on the fused host-chunked GI path

@@ -95,7 +95,7 @@ class ShadeResult(NamedTuple):
 
 
 def shade_lanes(scene, cfg, o, d, tput, absorb, pixel, alive, rtype,
-                key, gi_grid=None) -> ShadeResult:
+                key, gi_grid=None, caustic_grid=None) -> ShadeResult:
     """Trace + locally shade one wavefront; return radiance & children.
 
     gi_grid: photon grid for deep-bounce indirect light — the reference
@@ -128,6 +128,16 @@ def shade_lanes(scene, cfg, o, d, tput, absorb, pixel, alive, rtype,
                 gi_grid, surf.p, surf.n, cfg.knn_radius, cfg.knn_k)
         theta = jnp.maximum(0.0, -dot(surf.n, mean_dir))
         col = col + mtl.kd * irrad * theta[:, None]
+    if caustic_grid is not None:
+        # caustic map estimate at camera-visible hits (the reference
+        # ships this commented out, Proj13 main.cpp:517-534; radius 0.5,
+        # kd * irradiance * cos weighting)
+        from rtf_tpu.gi.grid import estimate_irradiance as _est
+        crad, cdir = _est(caustic_grid, surf.p, surf.n,
+                          cfg.caustic_radius, cfg.knn_k)
+        cth = jnp.maximum(0.0, -dot(surf.n, cdir))
+        prim = (rtype == RT_PRIMARY)[:, None]
+        col = col + jnp.where(prim, mtl.kd * crad * cth[:, None], 0.0)
     radiance = jnp.where(hit_mask[:, None], k_eff * col, 0.0)
 
     # environment on secondary-ray miss. Final: refraction only
@@ -141,7 +151,9 @@ def shade_lanes(scene, cfg, o, d, tput, absorb, pixel, alive, rtype,
     radiance = radiance + jnp.where(env_mask[:, None], tput * env, 0.0)
 
     # children
-    fr = fresnel_split(cfg, surf, mtl, view)
+    fr = fresnel_split(cfg, surf, mtl, view,
+                       key=jax.random.fold_in(key, 4099),
+                       glossy=scene.any_glossy)
     thr = cfg.color_threshold
     r_go = hit_mask & (jnp.max(fr.r_k, axis=-1) > thr)
     t_go = hit_mask & (jnp.max(fr.t_k, axis=-1) > thr)
@@ -222,7 +234,8 @@ def _run_bounces_rr(scene, cfg, q: RayQueue, key, gi_grid=None):
 
 
 def render_wave(scene, cfg, o, d, pixel, sample_mask, key,
-                num_pixels: int, gi_grid=None, inv_pixel=None) -> WaveOutput:
+                num_pixels: int, gi_grid=None, inv_pixel=None,
+                caustic_grid=None) -> WaveOutput:
     """Render one wave of primary samples through the full bounce queue.
 
     `sample_mask` disables lanes (adaptive-AA wave 2 only touches
@@ -243,7 +256,7 @@ def render_wave(scene, cfg, o, d, pixel, sample_mask, key,
                       pixel=pixel,
                       alive=sample_mask,
                       rtype=jnp.full(n, RT_PRIMARY, jnp.int32),
-                      key=k_prim)
+                      key=k_prim, caustic_grid=caustic_grid)
 
     use_rr = cfg.resolved_split_mode() == "rr" and inv_pixel is not None
 

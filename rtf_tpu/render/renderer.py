@@ -40,7 +40,7 @@ class RenderResult(NamedTuple):
 
 
 def _wave_stats(scene, cfg, sample_lo: int, sample_hi: int, key,
-                mask_pixels, gi_grid=None):
+                mask_pixels, gi_grid=None, caustic_grid=None):
     """Trace samples [sample_lo, sample_hi) for all pixels; returns summed
     radiance, summed squares (for variance), hit counts, z."""
     num_px = scene.width * scene.height
@@ -50,13 +50,15 @@ def _wave_stats(scene, cfg, sample_lo: int, sample_hi: int, key,
             jnp.full((num_px,), BIGFLOAT, jnp.float32))
     carry, _ = jax.lax.scan(
         lambda c, j: (_wave_body(c, scene, cfg, mask_pixels, key, j,
-                                 gi_grid=gi_grid), None),
+                                 gi_grid=gi_grid,
+                                 caustic_grid=caustic_grid), None),
         init, jnp.arange(sample_lo, sample_hi))
     return carry
 
 
 def _wave_body(carry, scene, cfg, mask_lanes, key, j, gi_grid=None,
-               fused_consts=None, gi_vol=None, mesh_tables=None):
+               fused_consts=None, gi_vol=None, mesh_tables=None,
+               caustic_grid=None):
     """One sample wave for all pixels, accumulated in LANE space (lane k
     renders pixel order[k], camera.pixel_order).  Nothing in the wave
     loop gathers or scatters; the lane->pixel conversion happens once
@@ -98,7 +100,8 @@ def _wave_body(carry, scene, cfg, mask_lanes, key, j, gi_grid=None,
                             dof=scene.dof > 0)
         out = render_wave(scene, cfg, o, d, order, mask_lanes,
                           jax.random.fold_in(kj, 7), num_px,
-                          gi_grid=gi_grid, inv_pixel=inv_order)
+                          gi_grid=gi_grid, inv_pixel=inv_order,
+                          caustic_grid=caustic_grid)
         # back to lane space so both paths accumulate identically
         contrib = out.radiance.T[:, order]
         hit_count = out.hit_count[order]
@@ -123,7 +126,8 @@ def lanes_to_pixels(rad, hits, z, nsamples, order):
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "fused_consts", "nsub"))
 def _wave_step(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
-               fused_consts=None, gi_vol=None, mesh_tables=None, nsub=1):
+               fused_consts=None, gi_vol=None, mesh_tables=None, nsub=1,
+               caustic_grid=None):
     """nsub sample waves per dispatch (amortizes per-call host/tunnel
     overhead; lax.scan keeps the compiled size at one wave).
 
@@ -133,13 +137,15 @@ def _wave_step(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
     if nsub == 1:
         return _wave_body(carry, scene, cfg, mask_pixels, key, j,
                           gi_grid=gi_grid, fused_consts=fused_consts,
-                          gi_vol=gi_vol, mesh_tables=mesh_tables)
+                          gi_vol=gi_vol, mesh_tables=mesh_tables,
+                          caustic_grid=caustic_grid)
     carry, _ = jax.lax.scan(
         lambda c, jj: (_wave_body(c, scene, cfg, mask_pixels, key, jj,
                                   gi_grid=gi_grid,
                                   fused_consts=fused_consts,
                                   gi_vol=gi_vol,
-                                  mesh_tables=mesh_tables), None),
+                                  mesh_tables=mesh_tables,
+                                  caustic_grid=caustic_grid), None),
         carry, j + jnp.arange(nsub))
     return carry
 
@@ -232,7 +238,8 @@ def render_device(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
     return lanes_to_pixels.__wrapped__(rad, hits, z, nsamples, order)
 
 
-def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
+def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
+                       caustic_grid=None) -> tuple:
     """Host-driven wave loop: ONE small compiled program (`_wave_step`)
     reused for every sample index and both adaptive phases, with the
     accumulator carry donated in place on device.
@@ -261,7 +268,7 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
         else:
             gi_vol = gi_grid
     mesh_tables = None
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and caustic_grid is None:
         from rtf_tpu.render.fused import frozen_consts, fusable, mxu_tables
         if fusable(scene, cfg):
             fused_consts = frozen_consts(scene)
@@ -309,7 +316,8 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
                                    fused_consts=fused_consts,
                                    gi_vol=gi_vol,
                                    mesh_tables=mesh_tables,
-                                   nsub=k)
+                                   nsub=k,
+                                   caustic_grid=caustic_grid)
                 j += k
             return carry
 
@@ -372,7 +380,7 @@ def finalize(scene, cfg: RenderConfig, rad, hits, z, nsamples) -> RenderResult:
 
 
 def render(scene, cfg: RenderConfig = RenderConfig(), seed: int = None,
-           gi_grid=None) -> RenderResult:
+           gi_grid=None, caustic_grid=None) -> RenderResult:
     """Host-facing entry: render a built GpuScene with a config.
 
     For cfg.gi_mode == 'photon', pass the photon grid (built once by
@@ -381,7 +389,8 @@ def render(scene, cfg: RenderConfig = RenderConfig(), seed: int = None,
     key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
     if cfg.gi_mode == "photon" and gi_grid is None:
         gi_grid = prepare_photon_grid(scene, cfg, key)
-    rad, hits, z, ns = render_device_host(scene, cfg, key, gi_grid=gi_grid)
+    rad, hits, z, ns = render_device_host(scene, cfg, key, gi_grid=gi_grid,
+                                          caustic_grid=caustic_grid)
     return finalize(scene, cfg, rad, hits, z, ns)
 
 
@@ -394,4 +403,17 @@ def prepare_photon_grid(scene, cfg: RenderConfig, key):
                        capacity=cfg.photon_count,
                        key=jax.random.fold_in(key, 999))
     return build_photon_grid(pm, cfg.knn_radius,
+                             scene.world_min, scene.world_max)
+
+
+def prepare_caustic_grid(scene, cfg: RenderConfig, key):
+    """Caustic photon pass: store only photons whose path crossed >= 2
+    specular segments (CausticTracing, Proj13 main.cpp:430-457)."""
+    from rtf_tpu.gi.grid import build_photon_grid
+    from rtf_tpu.gi.photon import shoot_photons
+    pm = shoot_photons(scene, cfg, n_emit=cfg.caustic_count,
+                       capacity=cfg.caustic_count,
+                       key=jax.random.fold_in(key, 998),
+                       caustic_only=True)
+    return build_photon_grid(pm, cfg.caustic_radius,
                              scene.world_min, scene.world_max)

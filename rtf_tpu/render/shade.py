@@ -36,20 +36,36 @@ class MtlSample(NamedTuple):
     refraction: jnp.ndarray  # [N,3]
     absorption: jnp.ndarray  # [N,3]
     ior: jnp.ndarray     # [N]
+    refl_gloss: jnp.ndarray  # [N] glossy reflection radius (Proj10+)
+    refr_gloss: jnp.ndarray  # [N]
 
 
 def sample_material(scene, mtl_id: jnp.ndarray, uvw: jnp.ndarray) -> MtlSample:
+    """Per-lane material attributes.  Table rows ride unrolled selects
+    (no gathers — see ops.texture._sel_rows) and texture sampling is
+    SKIPPED statically for channels no material maps (scene.tm_channels),
+    so untextured scenes never touch the atlas."""
+    from rtf_tpu.ops.texture import _sel_rows
     m = scene.materials
-    kd = sample_textured_color(scene, m.diffuse[mtl_id], m.diffuse_tm[mtl_id], uvw)
-    ks = sample_textured_color(scene, m.specular[mtl_id], m.specular_tm[mtl_id], uvw)
+
+    def chan(color_tbl, tm_tbl, name):
+        col = _sel_rows(color_tbl, mtl_id)
+        if name not in scene.tm_channels:
+            return col
+        return sample_textured_color(scene, col, _sel_rows(tm_tbl, mtl_id),
+                                     uvw)
+
     return MtlSample(
-        kd=kd, ks=ks,
-        gloss=m.glossiness[mtl_id],
-        emission=m.emission[mtl_id],
-        reflection=m.reflection[mtl_id],
-        refraction=m.refraction[mtl_id],
-        absorption=m.absorption[mtl_id],
-        ior=m.ior[mtl_id],
+        kd=chan(m.diffuse, m.diffuse_tm, "diffuse"),
+        ks=chan(m.specular, m.specular_tm, "specular"),
+        gloss=_sel_rows(m.glossiness, mtl_id),
+        emission=_sel_rows(m.emission, mtl_id),
+        reflection=_sel_rows(m.reflection, mtl_id),
+        refraction=_sel_rows(m.refraction, mtl_id),
+        absorption=_sel_rows(m.absorption, mtl_id),
+        ior=_sel_rows(m.ior, mtl_id),
+        refl_gloss=_sel_rows(m.refl_gloss, mtl_id),
+        refr_gloss=_sel_rows(m.refr_gloss, mtl_id),
     )
 
 
@@ -146,23 +162,61 @@ class FresnelSplit(NamedTuple):
     t_k: jnp.ndarray     # [N,3] refraction weight tK
 
 
-def fresnel_split(cfg, surf, mtl: MtlSample, view: jnp.ndarray) -> FresnelSplit:
-    """Schlick + TIR split (main.cpp:577-610)."""
+def _perturb_normal(n, gloss, key):
+    """Glossy normal perturbation (Proj13 main.cpp:633-647): offset N
+    inside its tangent disk by radius sqrt(U)*glossiness at a uniform
+    angle, then renormalize.  (The reference builds the tangent from
+    N x x_axis without normalizing — we normalize, and fall back to the
+    z axis when N is nearly parallel to x, which the reference leaves
+    degenerate.)"""
+    m = n.shape[0]
+    par = (jnp.abs(n[:, 0]) > 0.9)[:, None]
+    axis = jnp.where(par, jnp.array([0.0, 0.0, 1.0]),
+                     jnp.array([1.0, 0.0, 0.0]))
+    tx = normalize(cross(n, axis))
+    ty = cross(n, tx)
+    k1, k2 = jax.random.split(key)
+    r = jnp.sqrt(jax.random.uniform(k1, (m,))) * gloss
+    th = jax.random.uniform(k2, (m,)) * (2.0 * jnp.pi)
+    pn = (n + tx * (r * jnp.cos(th))[:, None]
+          + ty * (r * jnp.sin(th))[:, None])
+    return normalize(pn)
+
+
+def fresnel_split(cfg, surf, mtl: MtlSample, view: jnp.ndarray,
+                  key=None, glossy: bool = False) -> FresnelSplit:
+    """Schlick + TIR split (main.cpp:577-610).
+
+    glossy=True adds the Proj10+ glossy reflection/refraction normal
+    perturbation (main.cpp:633-659): the Fresnel COEFFICIENTS use the
+    true normal (as the reference computes them before perturbing), the
+    child ray DIRECTIONS use independently perturbed normals."""
     n = surf.n
     ior = jnp.maximum(mtl.ior, 1e-6)
     eta = jnp.where(surf.front, 1.0 / ior, ior)   # ein/eout
 
     cos_i = dot(n, view)
-    y = jnp.where((cos_i > 0.0)[:, None], n, -n)
+
+    n_r = n_t = n
+    if glossy and key is not None:
+        kr, kt = jax.random.split(key)
+        n_r = jnp.where((mtl.refl_gloss > 0)[:, None],
+                        _perturb_normal(n, mtl.refl_gloss, kr), n)
+        n_t = jnp.where((mtl.refr_gloss > 0)[:, None],
+                        _perturb_normal(n, mtl.refr_gloss, kt), n)
+
+    cos_t = dot(n_t, view)
+    y = jnp.where((cos_t > 0.0)[:, None], n_t, -n_t)
     z = cross(view, y)
     x = normalize(cross(y, z))
 
     sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
-    sin_o = jnp.clip(sin_i * eta, 0.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    sin_o = jnp.clip(sin_t * eta, 0.0, 1.0)
     cos_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_o * sin_o))
 
     t_dir = -x * sin_o[:, None] - y * cos_o[:, None]
-    r_dir = reflect(view, n)
+    r_dir = reflect(view, n_r)
 
     c0 = (eta - 1.0) ** 2 / (eta + 1.0) ** 2
     r_c = c0 + (1.0 - c0) * jnp.power(1.0 - jnp.abs(cos_i), 5.0)

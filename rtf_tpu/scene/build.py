@@ -172,6 +172,14 @@ class GpuScene:
     mesh_algo: str = struct.field(pytree_node=False, default="auto")
     # static instance -> mesh-slot mapping (dense path indexes slot_faces)
     mesh_inst_slots: tuple = struct.field(pytree_node=False, default=())
+    # static: any file texture exists (atlas gathers can be skipped)
+    has_file_tex: bool = struct.field(pytree_node=False, default=False)
+    # static: any material has glossy reflection/refraction (Proj10+)
+    any_glossy: bool = struct.field(pytree_node=False, default=False)
+    # static: material channels with at least one texture map attached
+    # (subset of ("diffuse", "specular") — the ones MtlBlinn::Shade
+    # samples with uvw, Final/main.cpp:531-532)
+    tm_channels: tuple = struct.field(pytree_node=False, default=())
 
 
 # --------------------------------------------------------------------------
@@ -533,4 +541,13 @@ def build_scene(desc: SceneDesc, bvh_leaf: int = 8) -> GpuScene:
         light_kinds=tuple(l.kind for l in desc.lights),
         any_soft_light=any(l.kind == "point" and l.size > 0 for l in desc.lights),
         mesh_inst_slots=tuple(int(e["mesh_slot"]) for e in b.groups["mesh"]),
+        has_file_tex=any(t.kind == "file" and t.data is not None
+                         for t in b.textures),
+        any_glossy=bool(
+            float(np.asarray(materials.refl_gloss).max(initial=0.0)) > 0
+            or float(np.asarray(materials.refr_gloss).max(initial=0.0)) > 0),
+        tm_channels=tuple(
+            ch for ch, tm in (("diffuse", materials.diffuse_tm),
+                              ("specular", materials.specular_tm))
+            if int(np.asarray(tm).max(initial=-1)) >= 0),
     )

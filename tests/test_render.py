@@ -135,3 +135,41 @@ def test_render_photon_mode_smoke(small_scene):
     assert np.isfinite(res.radiance).all()
     base = render(small_scene, FAST)
     assert res.radiance.mean() > base.radiance.mean()
+
+
+def test_glossy_reflection_blurs():
+    """Proj10 glossy reflections: perturbed-normal children change the
+    reflected image but conserve energy (main.cpp:633-659)."""
+    import numpy as _np
+    desc = box_scene(48, 36, with_mesh=False)
+    desc_g = box_scene(48, 36, with_mesh=False)
+    changed = 0
+    for nm, m in desc_g.materials.items():
+        if _np.asarray(m.reflection.color).max() > 0:
+            m.reflection_glossiness = 0.3
+            changed += 1
+    assert changed
+    cfg = FAST.with_(min_samples=4, max_samples=4, bounces=2)
+    sharp = render(build_scene(desc), cfg, seed=5)
+    glossy = render(build_scene(desc_g), cfg, seed=5)
+    assert np.isfinite(glossy.radiance).all()
+    ms, mg = sharp.radiance.mean(), glossy.radiance.mean()
+    assert abs(mg / ms - 1.0) < 0.1          # energy conserved
+    # the reflected image actually changed
+    assert np.abs(glossy.radiance - sharp.radiance).max() > 0.05
+
+
+def test_render_caustics_add_light(small_scene):
+    """Opt-in caustic map estimate (the reference ships it commented
+    out, Proj13 main.cpp:517-534): refracted-light photons brighten the
+    floor under the glass sphere."""
+    import jax
+    from rtf_tpu.render.renderer import prepare_caustic_grid
+    cfg = FAST.with_(caustic_count=8192, caustic_bounces=4,
+                     caustic_radius=2.0, knn_k=50)
+    cg = prepare_caustic_grid(small_scene, cfg, jax.random.PRNGKey(0))
+    assert int(cg.n_valid) > 20
+    res = render(small_scene, cfg, caustic_grid=cg)
+    base = render(small_scene, cfg)
+    assert np.isfinite(res.radiance).all()
+    assert res.radiance.mean() > base.radiance.mean()
