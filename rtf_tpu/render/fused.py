@@ -105,6 +105,25 @@ def scene_consts(scene):
                  emis=vec(mt.emission[i]))
             for i in range(mt.diffuse.shape[0])]
 
+    # checker texture maps on kd/ks (TextureChecker, texture.cpp:125-133
+    # — pure math, so they fuse; file textures gate fusable() off)
+    tm_tex = np.asarray(scene.texmaps.tex)
+    tex_kind = np.asarray(scene.textures.kind)
+    tex_c1 = np.asarray(scene.textures.c1)
+    tex_c2 = np.asarray(scene.textures.c2)
+    tm_itm = np.asarray(scene.texmaps.itm)
+    tm_pos = np.asarray(scene.texmaps.pos)
+    from rtf_tpu.scene.build import TEX_CHECKER
+    for i in range(len(mats)):
+        for field, tm_arr in (("kd", mt.diffuse_tm),
+                              ("ks", mt.specular_tm)):
+            t = int(np.asarray(tm_arr[i]))
+            if t >= 0 and tex_kind[tm_tex[t]] == TEX_CHECKER:
+                x = int(tm_tex[t])
+                mats[i][field + "_chk"] = dict(
+                    itm=mat3(tm_itm[t]), pos=vec(tm_pos[t]),
+                    c1=vec(tex_c1[x]), c2=vec(tex_c2[x]))
+
     lights = []
     for i, kind in enumerate(scene.light_kinds):
         lights.append(dict(
@@ -331,11 +350,36 @@ def _scene_fuse_info(scene) -> bool:
         ok = False
     mt = scene.materials
     if ok:
-        for tm in (mt.diffuse_tm, mt.specular_tm, mt.emission_tm,
-                   mt.reflection_tm, mt.refraction_tm):
+        for tm in (mt.emission_tm, mt.reflection_tm, mt.refraction_tm):
             if int(np.asarray(tm).max(initial=-1)) >= 0:
                 ok = False
                 break
+    if ok:
+        # kd/ks maps fuse IF every referenced texture is a checker
+        # (pure math in-kernel) AND no mesh material is textured (mesh
+        # uv interpolation is not in the kernel yet)
+        d_tm = np.asarray(mt.diffuse_tm)
+        s_tm = np.asarray(mt.specular_tm)
+        tex_ids = [int(t) for t in np.concatenate([d_tm, s_tm]) if t >= 0]
+        if tex_ids:
+            from rtf_tpu.scene.build import TEX_CHECKER
+            tm_tex = np.asarray(scene.texmaps.tex)
+            kinds = np.asarray(scene.textures.kind)
+            for t in tex_ids:
+                if kinds[tm_tex[t]] != TEX_CHECKER:
+                    ok = False
+                    break
+            if ok:
+                tex_mtls = {i for i in range(d_tm.shape[0])
+                            if d_tm[i] >= 0 or s_tm[i] >= 0}
+                mesh_mtls = set()
+                if scene.mesh is not None and scene.num_mesh_inst > 0:
+                    mesh_mtls |= {int(m) for m in np.unique(
+                        np.asarray(scene.mesh.tri_mtl))}
+                    mesh_mtls |= {int(m) for m in np.asarray(
+                        scene.mesh_inst.mtl)[:scene.num_mesh_inst]}
+                if tex_mtls & mesh_mtls:
+                    ok = False
     if ok and float(np.asarray(mt.refl_gloss).max(initial=0.0)) > 0:
         ok = False
     if ok and float(np.asarray(mt.refr_gloss).max(initial=0.0)) > 0:
@@ -701,12 +745,19 @@ def _mesh_anyhit_mxu(o3, d3, t_cap, consts, st, row, trit_ref, aabb_ref):
         jax.lax.fori_loop(row0, row0 + nt, tile, 0)
 
 
-def _primitive_phase(o3, d3, t, n3, mtl, front, consts):
+def _primitive_phase(o3, d3, t, n3, mtl, front, consts, need_uv=False):
     """Spheres and planes on full [8,128] ray registers; min-merges into
-    the mesh result.  Semantics of ops/intersect.py."""
+    the mesh result.  Semantics of ops/intersect.py.
+
+    need_uv: also track the winner's texture uv (sphere spherical uv,
+    objects.h:46-51; plane planar uv) for in-kernel checker sampling.
+    Mesh-won lanes keep a stale primitive uv — harmless, because
+    fusable() guarantees mesh materials are untextured."""
     ox, oy, oz = o3
     dx, dy, dz = d3
     nx, ny, nz = n3
+    uu = jnp.full_like(ox, 0.5)
+    vv = jnp.full_like(ox, 0.5)
 
     for sp in consts["spheres"]:
         lox, loy, loz = _mat3_apply_const(
@@ -738,6 +789,11 @@ def _primitive_phase(o3, d3, t, n3, mtl, front, consts):
         nz = jnp.where(vs, wnz, nz)
         mtl = jnp.where(vs, float(sp["mtl"]), mtl)
         front = jnp.where(vs, jnp.where(frontal, 1.0, 0.0), front)
+        if need_uv:
+            su = 0.5 - jnp.arctan2(hx, hy) * (0.5 / np.pi)
+            sv = 0.5 + jnp.arcsin(jnp.clip(hz, -1.0, 1.0)) * (1.0 / np.pi)
+            uu = jnp.where(vs, su, uu)
+            vv = jnp.where(vs, sv, vv)
 
     for pln in consts["planes"]:
         lox, loy, loz = _mat3_apply_const(
@@ -756,7 +812,12 @@ def _primitive_phase(o3, d3, t, n3, mtl, front, consts):
         nz = jnp.where(vp, pln["nrm"][2][2], nz)
         mtl = jnp.where(vp, float(pln["mtl"]), mtl)
         front = jnp.where(vp, jnp.where(ldz <= 0.0, 1.0, 0.0), front)
+        if need_uv:
+            uu = jnp.where(vp, (hx + 1.0) * 0.5, uu)
+            vv = jnp.where(vp, (hy + 1.0) * 0.5, vv)
 
+    if need_uv:
+        return t, (nx, ny, nz), mtl, front, (uu, vv)
     return t, (nx, ny, nz), mtl, front
 
 
@@ -796,6 +857,36 @@ def _primitive_anyhit(o3, d3, t_cap, occ, consts):
         vp &= (hx >= -1.0) & (hx <= 1.0) & (hy >= -1.0) & (hy <= 1.0)
         occ = jnp.maximum(occ, jnp.where(vp, 1.0, 0.0))
     return occ
+
+
+def _select_surface_color(mtl_id, consts, field, uv):
+    """kd/ks with optional per-material CHECKER modulation
+    (TexturedColor::Sample, scene.h:422-423; TextureChecker,
+    texture.cpp:125-133; the map's uvw transform, scene.h:376-398).
+    Pure per-lane math — no memory traffic."""
+    mats = consts["materials"]
+    accs = [jnp.zeros_like(mtl_id) for _ in range(3)]
+    for m, mat in enumerate(mats):
+        col = mat[field]
+        chk = mat.get(field + "_chk")
+        selm = mtl_id == float(m)
+        if chk is None or uv is None:
+            accs = [jnp.where(selm, float(col[c]), accs[c])
+                    for c in range(3)]
+            continue
+        itm, pos = chk["itm"], chk["pos"]
+        u, v = uv
+        du = u - pos[0]
+        dv = v - pos[1]
+        lu = itm[0][0] * du + itm[0][1] * dv - itm[0][2] * pos[2]
+        lv = itm[1][0] * du + itm[1][1] * dv - itm[1][2] * pos[2]
+        tu = lu - jnp.floor(lu)
+        tv = lv - jnp.floor(lv)
+        odd = (tu <= 0.5) ^ (tv <= 0.5)
+        for c in range(3):
+            tex_c = jnp.where(odd, chk["c2"][c], chk["c1"][c])
+            accs[c] = jnp.where(selm, float(col[c]) * tex_c, accs[c])
+    return accs
 
 
 def _select_material(mtl_id, consts, field, dims=3):
@@ -948,9 +1039,17 @@ def _bounce_core(state, seed, st, consts, cfg_c, mesh_refs=None):
     # reach bound (tightens triangle culling dramatically in closed
     # scenes) -------------------------------------------------------------
     zero = jnp.zeros(shape, jnp.float32)
-    t_p, n3_p, mtl_p, front_p = _primitive_phase(
-        o3, d3, jnp.full(shape, BIG, jnp.float32), (zero, zero, zero),
-        zero, zero, consts)
+    need_uv = any(("kd_chk" in m) or ("ks_chk" in m)
+                  for m in consts["materials"])
+    uv = None
+    if need_uv:
+        t_p, n3_p, mtl_p, front_p, uv = _primitive_phase(
+            o3, d3, jnp.full(shape, BIG, jnp.float32),
+            (zero, zero, zero), zero, zero, consts, need_uv=True)
+    else:
+        t_p, n3_p, mtl_p, front_p = _primitive_phase(
+            o3, d3, jnp.full(shape, BIG, jnp.float32),
+            (zero, zero, zero), zero, zero, consts)
     st[0] = t_p
     st[1], st[2], st[3] = n3_p
     st[4] = mtl_p
@@ -971,8 +1070,8 @@ def _bounce_core(state, seed, st, consts, cfg_c, mesh_refs=None):
                                  jnp.exp(-absorb[c] * jnp.minimum(t, 1e4)))
              for c in range(3)]
 
-    kd = _select_material(mtl, consts, "kd")
-    ks = _select_material(mtl, consts, "ks")
+    kd = _select_surface_color(mtl, consts, "kd", uv)
+    ks = _select_surface_color(mtl, consts, "ks", uv)
     gloss = _select_material(mtl, consts, "gloss", dims=1)
     refl = _select_material(mtl, consts, "refl")
     refr = _select_material(mtl, consts, "refr")

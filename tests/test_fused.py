@@ -217,3 +217,49 @@ def test_fused_soft_shadow_adaptive():
     lum = adapt.mean(-1)
     frac = ((lum > 0.02) & (lum < 0.98 * lum.max())).mean()
     assert frac > 0.1
+
+
+def test_fused_checker_texture_matches_xla():
+    """In-kernel checker sampling (sphere + plane uv) vs the XLA
+    texture path at bounces=0 — identical pattern, tight tolerance."""
+    import numpy as _np
+    from rtf_tpu.scene.model import (
+        TexMapDesc, TextureDesc, TexturedColorDesc,
+    )
+    from rtf_tpu.scene.procedural import box_scene
+    desc = box_scene(width=32, height=24, with_mesh=False)
+    chk = TextureDesc(kind="checker", name="chk",
+                      color1=_np.array([0.1, 0.1, 0.1]),
+                      color2=_np.array([0.9, 0.8, 0.2]))
+    # attach to the floor material and a sphere material
+    names = sorted(desc.materials)
+    for nm in names[:2]:
+        m = desc.materials[nm]
+        m.diffuse = TexturedColorDesc(m.diffuse.color,
+                                      TexMapDesc(chk))
+    scene = build_scene(desc)
+    cfg = RenderConfig(min_samples=8, max_samples=8, bounces=0,
+                       shadow_min=1, shadow_max=1, gi_mode="none")
+    from rtf_tpu.render.fused import scene_consts as _sc
+    assert fusable(scene, cfg)
+    consts = _sc(scene)
+    assert any("kd_chk" in m for m in consts["materials"])
+
+    w, h = scene.width, scene.height
+    order = jnp.asarray(pixel_order(w, h))
+    px, py = order % w, order // w
+    key = jax.random.PRNGKey(0)
+    o, d = primary_rays(scene, px, py, jnp.zeros_like(px), key=key,
+                        halton_bases=(2, 3))
+    o3, d3 = primary_rays_ch(scene, px, py, jnp.zeros_like(px), key=key,
+                             halton_bases=(2, 3))
+    n = w * h
+    alive = jnp.ones((n,), bool)
+    rad3, hitl, zl = fused_wave(cfg, consts, o3, d3, alive, jnp.int32(1),
+                                bounces=0)
+    inv = jnp.asarray(pixel_order_inv(w, h))
+    out = I.render_wave(scene, cfg, o, d, order, alive, key, n,
+                        inv_pixel=inv)
+    inv_np = np.asarray(inv)
+    rad_f = np.stack([np.asarray(rad3[c])[inv_np] for c in range(3)], 1)
+    np.testing.assert_allclose(rad_f, np.asarray(out.radiance), atol=5e-4)
