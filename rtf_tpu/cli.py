@@ -50,6 +50,14 @@ def cmd_render(args):
           f"{scene.num_mesh_inst} mesh instances, {scene.num_lights} lights")
 
     grid = None
+    caustic = None
+    if args.caustics:
+        from rtf_tpu.render.renderer import prepare_caustic_grid
+        t0 = time.time()
+        caustic = prepare_caustic_grid(scene, cfg,
+                                       jax.random.PRNGKey(args.seed + 1))
+        print(f"caustic pass: {int(caustic.n_valid)} photons "
+              f"in {time.time() - t0:.1f}s")
     if cfg.gi_mode == "photon":
         t0 = time.time()
         grid = prepare_photon_grid(scene, cfg, jax.random.PRNGKey(args.seed))
@@ -64,7 +72,8 @@ def cmd_render(args):
             print(f"photon map dumped to {args.photon_dump}")
 
     t0 = time.time()
-    res = render(scene, cfg, seed=args.seed, gi_grid=grid)
+    res = render(scene, cfg, seed=args.seed, gi_grid=grid,
+                 caustic_grid=caustic)
     dt = int(time.time() - t0)
     print("Render time is %d:%02d:%02d" % (dt // 3600, dt // 60 % 60, dt % 60))
 
@@ -143,6 +152,85 @@ def cmd_viz(args):
     return 0
 
 
+def cmd_watch(args):
+    """Progressive preview — the TPU-world analog of the GLUT viewport
+    (ShowViewport, viewport.cpp:93-139): samples accumulate pass by
+    pass, the output PNG (plus optional z / sample-count view modes,
+    GlutKeyboard '3'/'4', viewport.cpp:414-480) refreshes after every
+    pass, a progress line replaces the progress bar
+    (viewport.cpp:308-336), and Ctrl-C is StopRender."""
+    import jax
+    import jax.numpy as jnp
+    from rtf_tpu.core.math import BIGFLOAT
+    from rtf_tpu.render.config import PROFILES
+    from rtf_tpu.render.renderer import finalize, render_device_host
+    from rtf_tpu.utils.image import sample_count_image, zbuffer_image
+    from rtf_tpu.utils.png import write_png
+
+    cfg = PROFILES[args.profile]
+    target = args.spp or cfg.max_samples
+    scene = _load(args.scene, args.width, args.height)
+    num_px = scene.width * scene.height
+
+    rad = jnp.zeros((3, num_px), jnp.float32)
+    hits = jnp.zeros((num_px,), jnp.int32)
+    z = jnp.full((num_px,), BIGFLOAT, jnp.float32)
+    ns = jnp.zeros((num_px,), jnp.int32)
+
+    t0 = time.time()
+    done, pass_spp, pass_ix = 0, 1, 0
+    try:
+        while done < target:
+            pass_spp = min(pass_spp, target - done)
+            cfg_p = cfg.with_(min_samples=pass_spp, max_samples=pass_spp)
+            r, hcount, zp, nsp = render_device_host(
+                scene, cfg_p, jax.random.PRNGKey(args.seed + pass_ix))
+            rad = rad + r
+            hits = hits + hcount
+            z = jnp.minimum(z, zp)
+            ns = ns + nsp
+            done += pass_spp
+            res = finalize(scene, cfg, rad, hits, z, ns)
+            write_png(args.out, res.image)
+            if args.zbuffer:
+                write_png(args.zbuffer, zbuffer_image(res.z))
+            if args.samplecount:
+                write_png(args.samplecount,
+                          sample_count_image(res.sample_count))
+            dt = int(time.time() - t0)
+            print(f"[{done}/{target} spp] {args.out} updated   "
+                  "Render time is %d:%02d:%02d"
+                  % (dt // 3600, dt // 60 % 60, dt % 60), flush=True)
+            pass_ix += 1
+            pass_spp *= 2
+    except KeyboardInterrupt:
+        print("\nstopped (StopRender)")
+    return 0
+
+
+def cmd_probe(args):
+    """Per-pixel debug readout — parity with the viewport's left-click
+    pixel inspector (PrintPixelData, viewport.cpp:484-515): prints the
+    rendered color, z and sample count at one pixel."""
+    from rtf_tpu.render.config import PROFILES
+    from rtf_tpu.render.renderer import render
+
+    x, y = (int(v) for v in args.pixel.split(","))
+    cfg = PROFILES[args.profile]
+    if args.spp:
+        cfg = cfg.with_(min_samples=args.spp, max_samples=args.spp)
+    scene = _load(args.scene, args.width, args.height)
+    res = render(scene, cfg, seed=args.seed)
+    c = res.radiance[y, x]
+    print(f"pixel ({x}, {y}):")
+    print(f"  color (linear): {c[0]:.6f} {c[1]:.6f} {c[2]:.6f}")
+    print(f"  color (8-bit):  {tuple(int(v) for v in res.image[y, x])}")
+    zv = float(res.z[y, x])
+    print(f"  z: {'miss' if zv >= 1e29 else f'{zv:.6f}'}")
+    print(f"  samples: {int(res.sample_count[y, x])}")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="rtf_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -154,6 +242,9 @@ def main(argv=None):
     r.add_argument("--zbuffer", help="write z-buffer AOV PNG")
     r.add_argument("--samplecount", help="write sample-count AOV PNG")
     r.add_argument("--photon-dump", help="write the photon map .dat")
+    r.add_argument("--caustics", action="store_true",
+                   help="add the caustic-map estimate (opt-in; the "
+                        "reference ships this commented out)")
     r.add_argument("--spp", type=int, help="force fixed samples/pixel")
     r.add_argument("--bounces", type=int)
     r.add_argument("--width", type=int)
@@ -169,6 +260,28 @@ def main(argv=None):
     p.add_argument("--profile", default="photon")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_photons)
+
+    w = sub.add_parser("watch", help="progressive preview (viewport analog)")
+    w.add_argument("scene")
+    w.add_argument("--profile", default="final")
+    w.add_argument("--out", default="out.png")
+    w.add_argument("--zbuffer", help="also refresh a z-buffer view PNG")
+    w.add_argument("--samplecount", help="also refresh a sample-count view PNG")
+    w.add_argument("--spp", type=int, help="total samples target")
+    w.add_argument("--width", type=int)
+    w.add_argument("--height", type=int)
+    w.add_argument("--seed", type=int, default=0)
+    w.set_defaults(fn=cmd_watch)
+
+    pb = sub.add_parser("probe", help="print color/z/samples at a pixel")
+    pb.add_argument("scene")
+    pb.add_argument("--pixel", required=True, help="x,y")
+    pb.add_argument("--profile", default="proj3")
+    pb.add_argument("--spp", type=int)
+    pb.add_argument("--width", type=int)
+    pb.add_argument("--height", type=int)
+    pb.add_argument("--seed", type=int, default=0)
+    pb.set_defaults(fn=cmd_probe)
 
     v = sub.add_parser("viz", help="render a photon .dat as a point cloud")
     v.add_argument("dat")
