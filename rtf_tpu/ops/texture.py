@@ -143,3 +143,88 @@ def sample_background(scene, uvw: jnp.ndarray) -> jnp.ndarray:
         return jnp.broadcast_to(scene.bg_color, (n, 3))
     tm = jnp.full((n,), scene.bg_tm, jnp.int32)
     return sample_textured_color(scene, scene.bg_color, tm, uvw)
+
+
+# ---------------------------------------------------------------------------
+# channelwise variants (per-lane u, v scalars; tuple-of-[N] outputs) for
+# the segmented fused path — no [N,3] intermediates
+
+
+def sample_texture_ch(scene, tex_id, u, v):
+    """Channelwise sample_texture: returns (r, g, b) [N] tuples."""
+    tx = scene.textures
+    kind = _sel_rows(tx.kind, tex_id)
+    u = _tile(u)
+    v = _tile(v)
+
+    if scene.has_file_tex:
+        w = _sel_rows(tx.width, tex_id)
+        h = _sel_rows(tx.height, tex_id)
+        row0 = _sel_rows(tx.row0, tex_id)
+        x = w * u
+        y = h * v
+        ix = jnp.floor(x).astype(jnp.int32)
+        iy = jnp.floor(y).astype(jnp.int32)
+        fx = x - ix
+        fy = y - iy
+        ix = jnp.clip(ix, 0, w - 1)
+        iy = jnp.clip(iy, 0, h - 1)
+        ixp = jnp.where(ix + 1 >= w, 0, ix + 1)
+        iyp = jnp.where(iy + 1 >= h, 0, iy + 1)
+        atlas = tx.atlas
+        aw = atlas.shape[1]
+        flat = atlas.reshape(-1, 3)
+        lin = jnp.stack([(row0 + iy) * aw + ix,
+                         (row0 + iy) * aw + ixp,
+                         (row0 + iyp) * aw + ix,
+                         (row0 + iyp) * aw + ixp])          # [4, N]
+        cs = jnp.take(flat, lin.reshape(-1), axis=0)
+        cs = cs.reshape((4,) + u.shape + (3,))
+        w00 = (1 - fx) * (1 - fy)
+        w10 = fx * (1 - fy)
+        w01 = (1 - fx) * fy
+        w11 = fx * fy
+        file_c = [cs[0][..., c] * w00 + cs[1][..., c] * w10
+                  + cs[2][..., c] * w01 + cs[3][..., c] * w11
+                  for c in range(3)]
+    else:
+        file_c = [jnp.zeros_like(u)] * 3
+
+    odd = (u <= 0.5) ^ (v <= 0.5)
+    out = []
+    is_file = kind == TEX_FILE
+    for c in range(3):
+        chk = jnp.where(odd, _sel_rows(tx.c2[:, c], tex_id),
+                        _sel_rows(tx.c1[:, c], tex_id))
+        out.append(jnp.where(is_file, file_c[c], chk))
+    return tuple(out)
+
+
+def sample_texmap_ch(scene, tm_id, u, v):
+    """Channelwise sample_texmap; tm_id == -1 lanes return 1.0."""
+    safe = jnp.maximum(tm_id, 0)
+
+    def e(i, j):
+        return _sel_rows(scene.texmaps.itm[:, i, j], safe)
+
+    def p(i):
+        return _sel_rows(scene.texmaps.pos[:, i], safe)
+
+    du = u - p(0)
+    dv = v - p(1)
+    lu = e(0, 0) * du + e(0, 1) * dv - e(0, 2) * p(2)
+    lv = e(1, 0) * du + e(1, 1) * dv - e(1, 2) * p(2)
+    tex = _sel_rows(scene.texmaps.tex, safe)
+    cols = sample_texture_ch(scene, tex, lu, lv)
+    no_map = tm_id < 0
+    return tuple(jnp.where(no_map, 1.0, c) for c in cols)
+
+
+def env_uv_ch(dx, dy, dz):
+    """Channelwise env_uvw (angular map, scene.h:426-432)."""
+    z = jnp.arcsin(jnp.clip(-dz, -1.0, 1.0)) / jnp.pi + 0.5
+    denom = jnp.abs(dx) + jnp.abs(dy)
+    denom = jnp.where(denom == 0, 1e-30, denom)
+    x = dx / denom
+    y = dy / denom
+    return 0.5 + z * 0.5 * (x - y), 0.5 + z * 0.5 * (x + y)

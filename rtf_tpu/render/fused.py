@@ -204,6 +204,7 @@ def _mxu_pack(scene):
     nb_all = np.asarray(mesh.tri_nb)
     nc_all = np.asarray(mesh.tri_nc)
     m_all = np.asarray(mesh.tri_mtl)
+    at_all = np.asarray(mesh.attr_t)    # [F,16]: vertex uvw a/b/c
 
     trit_parts, shade_parts, aabb_parts, slots = [], [], [], {}
     row0 = 0
@@ -211,10 +212,12 @@ def _mxu_pack(scene):
         a, b, c = a_all[f0:f1], b_all[f0:f1], c_all[f0:f1]
         nav, nbv, ncv = na_all[f0:f1], nb_all[f0:f1], nc_all[f0:f1]
         mt = m_all[f0:f1]
+        at = at_all[f0:f1]
         f = f1 - f0
         order = np.argsort(_morton3((a + b + c) / 3.0), kind="stable")
         a, b, c = a[order], b[order], c[order]
         nav, nbv, ncv, mt = nav[order], nbv[order], ncv[order], mt[order]
+        at = at[order]
 
         n = np.cross(b - a, c - a)
         ln = np.linalg.norm(n, axis=-1, keepdims=True)
@@ -235,11 +238,12 @@ def _mxu_pack(scene):
 
         nt = max(1, (f + MXU_TILE - 1) // MXU_TILE)
         trit = np.zeros((nt, 16, 5 * MXU_TILE), np.float32)
-        # winner-resolve rhs [T, 16]: the one-hot pick row picks these
+        # winner-resolve rhs [T, 24]: the one-hot pick row picks these
         # per-face columns via matmul.  Cols: 0-2 nc, 3-5 na-nc,
         # 6-8 nb-nc (interp normal = nc + ba*(na-nc) + bb*(nb-nc)),
-        # 9 mtl, 10-12 geometric unit normal (front test).
-        shade = np.zeros((nt, MXU_TILE, 16), np.float32)
+        # 9 mtl, 10-12 geometric unit normal (front test),
+        # 13-14 uv_c, 15-16 uv_a-uv_c, 17-18 uv_b-uv_c (interp uv).
+        shade = np.zeros((nt, MXU_TILE, 24), np.float32)
         aabbs = []
         tri_lo = np.minimum(np.minimum(a, b), c)
         tri_hi = np.maximum(np.maximum(a, b), c)
@@ -261,6 +265,12 @@ def _mxu_pack(scene):
             shade[j, :w, 6:9] = nbv[lo:hi] - ncv[lo:hi]
             shade[j, :w, 9] = mt[lo:hi]
             shade[j, :w, 10:13] = n[lo:hi]
+            uva = at[lo:hi, 0:2]
+            uvb = at[lo:hi, 3:5]
+            uvc = at[lo:hi, 6:8]
+            shade[j, :w, 13:15] = uvc
+            shade[j, :w, 15:17] = uva - uvc
+            shade[j, :w, 17:19] = uvb - uvc
             aabbs.append(tuple(float(x) for x in tri_lo[lo:hi].min(0))
                          + tuple(float(x) for x in tri_hi[lo:hi].max(0)))
         slots[slot] = (row0, nt,
@@ -464,10 +474,12 @@ def _box_overlap(rlo, rhi, lo, hi):
             & (rhi[2] >= lo[2]) & (rlo[2] <= hi[2]))
 
 
-def _mesh_closest(o3, d3, consts, st, t_cap_scalar, mesh_refs=None):
+def _mesh_closest(o3, d3, consts, st, t_cap_scalar, mesh_refs=None,
+                  need_uv=False):
     """Closest mesh hit over all instances: per-(block, tile) and
     per-(block, triangle) immediate-AABB culling, winner state in the st
-    scratch ([6, 8, 128]: t, nx, ny, nz, mtl, front; world normal).
+    scratch ([8, 8, 128]: t, nx, ny, nz, mtl, front [, u, v]; world
+    normal).
 
     The CALLER seeds st with the best hit so far (e.g. the primitive
     phase) and passes t_cap_scalar = the block's largest useful t; the
@@ -479,7 +491,8 @@ def _mesh_closest(o3, d3, consts, st, t_cap_scalar, mesh_refs=None):
     insts = consts["mesh_insts"]
     if insts and "mxu" in insts[0]:
         _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
-                          mesh_refs[0], mesh_refs[1], mesh_refs[2])
+                          mesh_refs[0], mesh_refs[1], mesh_refs[2],
+                          need_uv=need_uv)
         return
     for inst in consts["mesh_insts"]:
         lo3 = _mat3_apply_const(inst["itm"],
@@ -533,6 +546,14 @@ def _mesh_closest(o3, d3, consts, st, t_cap_scalar, mesh_refs=None):
                         st[4] = jnp.where(ok, tc[30], st[4])
                         st[5] = jnp.where(
                             ok, jnp.where(dn <= 0.0, 1.0, 0.0), st[5])
+                        if need_uv:
+                            # vertex uvw rows 21-29 of the packed table
+                            iu = (tc[21] * ba + tc[24] * bb_
+                                  + tc[27] * bc)
+                            iv = (tc[22] * ba + tc[25] * bb_
+                                  + tc[28] * bc)
+                            st[6] = jnp.where(ok, iu, st[6])
+                            st[7] = jnp.where(ok, iv, st[7])
 
 
 def _mesh_anyhit(o3, d3, t_cap, consts, st, row, mesh_refs=None):
@@ -632,7 +653,7 @@ def _aabb_overlap_smem(aabb_ref, j, rlo, rhi):
 
 
 def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
-                      trit_ref, shade_ref, aabb_ref):
+                      trit_ref, shade_ref, aabb_ref, need_uv=False):
     """Closest mesh hit, large-mesh path: per tile, ONE [1024,16] x
     [16,5*128] MXU matmul yields every ray x triangle Plücker sign and
     plane term; the VPU epilogue picks the per-ray winner and resolves
@@ -706,6 +727,11 @@ def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
                     st[4] = jnp.where(ok, mtl8, st[4])
                     st[5] = jnp.where(
                         ok, jnp.where(dn8 <= 0.0, 1.0, 0.0), st[5])
+                    if need_uv:
+                        iu = s1[:, 13] + s2[:, 15] + s3[:, 17]
+                        iv = s1[:, 14] + s2[:, 16] + s3[:, 18]
+                        st[6] = jnp.where(ok, _to88(iu), st[6])
+                        st[7] = jnp.where(ok, _to88(iv), st[7])
             return acc
 
         jax.lax.fori_loop(row0, row0 + nt, tile, 0)
@@ -1019,28 +1045,14 @@ def _wave_kernel(seed_ref, rays_ref, *refs, consts, cfg_c, nbounce,
             out_ref[0, extra] = zero
 
 
-def _bounce_core(state, seed, st, consts, cfg_c, mesh_refs=None):
-    """One bounce on register-resident ray state; returns
-    (rad3, hit flag, z, surf rows, gi-query weight, next state).
-
-    surf = (px,py,pz, nx,ny,nz, kd rgb, k_eff rgb) of THIS bounce's hit;
-    qw = kd * k_eff masked by hit — the photon-query weight (the deep
-    bounce GI term is kd * E(p) * cos, main.cpp:700-705)."""
+def _closest_hit(o3, d3, consts, st, mesh_refs=None, need_uv=False):
+    """Closest hit over primitives + mesh: primitives FIRST (cheap),
+    then the mesh with the primitive distances as per-lane caps and
+    their block max as the reach bound (tightens triangle culling
+    dramatically in closed scenes).  Returns
+    (t, normalized n3, mtl, front, uv-or-None)."""
     shape = (SUB, TRI_LANES)
-    o3 = state[0:3]
-    d3 = state[3:6]
-    tput = state[6:9]
-    absorb = state[9:12]
-    alive = state[12] > 0.0
-    rtype = state[13]
-
-    # ---- closest hit: primitives FIRST (cheap), then the mesh with the
-    # primitive distances as per-lane caps and their block max as the
-    # reach bound (tightens triangle culling dramatically in closed
-    # scenes) -------------------------------------------------------------
     zero = jnp.zeros(shape, jnp.float32)
-    need_uv = any(("kd_chk" in m) or ("ks_chk" in m)
-                  for m in consts["materials"])
     uv = None
     if need_uv:
         t_p, n3_p, mtl_p, front_p, uv = _primitive_phase(
@@ -1054,11 +1066,55 @@ def _bounce_core(state, seed, st, consts, cfg_c, mesh_refs=None):
     st[1], st[2], st[3] = n3_p
     st[4] = mtl_p
     st[5] = front_p
-    _mesh_closest(o3, d3, consts, st, jnp.max(t_p), mesh_refs=mesh_refs)
+    if need_uv:
+        st[6], st[7] = uv
+    _mesh_closest(o3, d3, consts, st, jnp.max(t_p), mesh_refs=mesh_refs,
+                  need_uv=need_uv)
     t, n3 = st[0], (st[1], st[2], st[3])
     mtl, front = st[4], st[5]
+    if need_uv:
+        uv = (st[6], st[7])
+    return t, _norm3(*n3), mtl, front, uv
+
+
+def _bounce_core(state, seed, st, consts, cfg_c, mesh_refs=None):
+    """One bounce on register-resident ray state; returns
+    (rad3, hit flag, z, surf rows, gi-query weight, next state).
+
+    surf = (px,py,pz, nx,ny,nz, kd rgb, k_eff rgb) of THIS bounce's hit;
+    qw = kd * k_eff masked by hit — the photon-query weight (the deep
+    bounce GI term is kd * E(p) * cos, main.cpp:700-705)."""
+    o3 = state[0:3]
+    d3 = state[3:6]
+    need_uv = any(("kd_chk" in m) or ("ks_chk" in m)
+                  for m in consts["materials"])
+    t, n3n, mtl, front, uv = _closest_hit(o3, d3, consts, st,
+                                          mesh_refs=mesh_refs,
+                                          need_uv=need_uv)
+    kd = _select_surface_color(mtl, consts, "kd", uv)
+    ks = _select_surface_color(mtl, consts, "ks", uv)
+    return _shade_from_hit(state, seed, st, consts, cfg_c, t, n3n, mtl,
+                           front, kd, ks, consts["env"],
+                           mesh_refs=mesh_refs)
+
+
+def _shade_from_hit(state, seed, st, consts, cfg_c, t, n3n, mtl, front,
+                    kd, ks, env3, mesh_refs=None):
+    """Shading given a resolved hit: Blinn direct + in-kernel shadows +
+    Fresnel split + RR continuation.  kd/ks arrive as per-lane channel
+    tuples (the segmented path computes them in an XLA texture segment
+    between the hit and shade kernels); env3 is a 3-tuple of python
+    floats (solid env) or per-lane arrays (textured env)."""
+    shape = (SUB, TRI_LANES)
+    o3 = state[0:3]
+    d3 = state[3:6]
+    tput = state[6:9]
+    absorb = state[9:12]
+    alive = state[12] > 0.0
+    rtype = state[13]
+
+    nx, ny, nz = n3n
     hit = alive & (t < BIG)
-    nx, ny, nz = _norm3(*n3)
     frontb = front > 0.5
 
     px = o3[0] + t * d3[0]
@@ -1070,8 +1126,6 @@ def _bounce_core(state, seed, st, consts, cfg_c, mesh_refs=None):
                                  jnp.exp(-absorb[c] * jnp.minimum(t, 1e4)))
              for c in range(3)]
 
-    kd = _select_surface_color(mtl, consts, "kd", uv)
-    ks = _select_surface_color(mtl, consts, "ks", uv)
     gloss = _select_material(mtl, consts, "gloss", dims=1)
     refl = _select_material(mtl, consts, "refl")
     refr = _select_material(mtl, consts, "refr")
@@ -1206,7 +1260,7 @@ def _bounce_core(state, seed, st, consts, cfg_c, mesh_refs=None):
     env_mask = alive & (t >= BIG) & env_ok
     for c in range(3):
         rad[c] = rad[c] + jnp.where(env_mask,
-                                    tput[c] * consts["env"][c], 0.0)
+                                    tput[c] * env3[c], 0.0)
 
     hitf = jnp.where(hit, 1.0, 0.0)
     tz = jnp.where(hit, t, BIG)
@@ -1386,7 +1440,7 @@ def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None,
                                        jnp.float32),
         in_specs=in_specs,
         out_specs=_blk4(n_rows),
-        scratch_shapes=[pltpu.VMEM((6, SUB, TRI_LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, SUB, TRI_LANES), jnp.float32)],
         interpret=interpret,
     )(*args)
 

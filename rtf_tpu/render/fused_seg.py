@@ -1,0 +1,329 @@
+"""Segmented fused path: Pallas hit kernel + XLA texture segment +
+Pallas shade kernel per bounce, all inside ONE jit program.
+
+The monolithic wave kernel (render/fused.py) cannot express per-lane
+texture gathers (Pallas TPU has no vector gather), so file-textured
+scenes previously fell back to the ~100x-slower XLA wavefront.  This
+path keeps intersection and shading in Pallas and hops out to XLA only
+for the texture fetches — per bounce that segment is ONE batched atlas
+gather per textured channel plus elementwise uv math, so the whole
+bounce stays memory-light: rays in HBM between segments
+([nblk,16,8,128]), everything else in registers.
+
+Coverage (fusable_seg): kd/ks file or checker textures on any material
+(mesh hits interpolate per-face vertex uv in-kernel: immediates rows
+21-29 of the packed triangle table, one-hot matmul cols 13-18 of the
+MXU shade table), textured environment maps, textured backgrounds
+(handled at finalize), gi_mode none, 'rr' split, and the monolithic
+path's light/material limits.
+
+Reference semantics preserved: identical to the monolithic kernel —
+MtlBlinn::Shade direct+Fresnel structure (Final/main.cpp:516-638) with
+TexturedColor::Sample kd/ks (main.cpp:531-532) and
+SampleEnvironment on refraction miss (main.cpp:634-636).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rtf_tpu.ops.pallas_mesh import TRI_LANES
+from rtf_tpu.render.fused import (
+    BIG, BLOCK, MXU_MAX_FACES, SENTINEL, SUB,
+    R_ALIVE, R_D, R_O, R_RTYPE, R_TPUT,
+    _blk4, _closest_hit, _pack_rays_sh, _pad_blocks, _shade_from_hit,
+)
+
+HIT_ROWS = 8    # t, nx, ny, nz, mtl, front, u, v
+TEX_ROWS = 9    # kd rgb, ks rgb, env rgb
+OUT_ROWS = 21   # rad rgb, hit, z, next-ray state (16)
+
+
+# ---------------------------------------------------------------------------
+# gate
+
+_SEG_INFO_CACHE = {}
+
+
+def fusable_seg(scene, cfg) -> bool:
+    """Can this scene+config run on the segmented path?  Everything the
+    monolithic gate requires EXCEPT kd/ks/env/bg texture restrictions —
+    textures are free here (incl. on mesh materials: the hit kernels
+    interpolate per-face vertex uv)."""
+    if cfg.gi_mode != "none":
+        return False
+    if cfg.resolved_split_mode() != "rr":
+        return False
+    import weakref
+    k = id(scene)
+    ent = _SEG_INFO_CACHE.get(k)
+    if ent is not None and ent[0]() is scene:
+        return ent[1]
+    ok = True
+    mt = scene.materials
+    for tm in (mt.emission_tm, mt.reflection_tm, mt.refraction_tm):
+        if int(np.asarray(tm).max(initial=-1)) >= 0:
+            ok = False
+            break
+    if ok and float(np.asarray(mt.refl_gloss).max(initial=0.0)) > 0:
+        ok = False
+    if ok and float(np.asarray(mt.refr_gloss).max(initial=0.0)) > 0:
+        ok = False
+    if ok and sum(1 for kk in scene.light_kinds if kk != "ambient") > 2:
+        ok = False
+    if ok and scene.mesh is not None \
+            and scene.mesh.tri_a.shape[0] > MXU_MAX_FACES:
+        ok = False
+    if ok and mt.diffuse.shape[0] > 16:
+        ok = False
+    try:
+        ref = weakref.ref(scene)
+    except TypeError:
+        ref = (lambda s=scene: s)
+    _SEG_INFO_CACHE[k] = (ref, ok)
+    return ok
+
+
+# ---------------------------------------------------------------------------
+# kernels
+
+
+def _seg_hit_kernel(rays_ref, *refs, consts, has_mesh_tables=False):
+    """Closest hit only: writes (t, n, mtl, front, uv) rows."""
+    if has_mesh_tables:
+        trit_ref, shade_ref, aabb_ref, out_ref, st = refs
+        mesh_refs = (trit_ref, shade_ref, aabb_ref)
+    else:
+        out_ref, st = refs
+        mesh_refs = None
+    sh = rays_ref[0]
+    shape = (SUB, TRI_LANES)
+    any_alive = jnp.max(sh[R_ALIVE]) > 0.0
+
+    @pl.when(~any_alive)
+    def _():
+        out_ref[0, 0] = jnp.full(shape, BIG, jnp.float32)
+        zero = jnp.zeros(shape, jnp.float32)
+        for r in range(1, HIT_ROWS):
+            out_ref[0, r] = zero
+
+    @pl.when(any_alive)
+    def _():
+        o3 = (sh[R_O], sh[R_O + 1], sh[R_O + 2])
+        d3 = (sh[R_D], sh[R_D + 1], sh[R_D + 2])
+        t, n3n, mtl, front, uv = _closest_hit(
+            o3, d3, consts, st, mesh_refs=mesh_refs, need_uv=True)
+        out_ref[0, 0] = t
+        out_ref[0, 1] = n3n[0]
+        out_ref[0, 2] = n3n[1]
+        out_ref[0, 3] = n3n[2]
+        out_ref[0, 4] = mtl
+        out_ref[0, 5] = front
+        out_ref[0, 6] = uv[0]
+        out_ref[0, 7] = uv[1]
+
+
+def _seg_shade_kernel(seed_ref, rays_ref, hit_ref, tex_ref, *refs,
+                      consts, cfg_c, use_pid=True,
+                      has_mesh_tables=False):
+    """Shading from precomputed hit + texture rows: direct lighting +
+    shadows + Fresnel/RR; emits radiance and the next ray state."""
+    if has_mesh_tables:
+        trit_ref, shade_ref, aabb_ref, out_ref, st = refs
+        mesh_refs = (trit_ref, shade_ref, aabb_ref)
+    else:
+        out_ref, st = refs
+        mesh_refs = None
+    sh = rays_ref[0]
+    ht = hit_ref[0]
+    tx = tex_ref[0]
+    shape = (SUB, TRI_LANES)
+    seed0 = seed_ref[0, 0] + (pl.program_id(0) * 7919 if use_pid else 0)
+    any_alive = jnp.max(sh[R_ALIVE]) > 0.0
+
+    @pl.when(~any_alive)
+    def _():
+        zero = jnp.zeros(shape, jnp.float32)
+        for r in range(OUT_ROWS):
+            out_ref[0, r] = jnp.full(shape, BIG, jnp.float32) if r == 4 \
+                else zero
+        out_ref[0, 5 + R_O] = jnp.full(shape, SENTINEL, jnp.float32)
+        out_ref[0, 5 + R_O + 1] = jnp.full(shape, SENTINEL, jnp.float32)
+        out_ref[0, 5 + R_O + 2] = jnp.full(shape, SENTINEL, jnp.float32)
+        out_ref[0, 5 + R_D] = jnp.ones(shape, jnp.float32)
+
+    @pl.when(any_alive)
+    def _():
+        state = (sh[R_O], sh[R_O + 1], sh[R_O + 2],
+                 sh[R_D], sh[R_D + 1], sh[R_D + 2],
+                 sh[R_TPUT], sh[R_TPUT + 1], sh[R_TPUT + 2],
+                 sh[R_TPUT + 3], sh[R_TPUT + 4], sh[R_TPUT + 5],
+                 sh[R_ALIVE], sh[R_RTYPE])
+        rad3, hitf, tz, surf, qw, nstate = _shade_from_hit(
+            state, seed0, st, consts, cfg_c,
+            ht[0], (ht[1], ht[2], ht[3]), ht[4], ht[5],
+            (tx[0], tx[1], tx[2]), (tx[3], tx[4], tx[5]),
+            (tx[6], tx[7], tx[8]), mesh_refs=mesh_refs)
+        out_ref[0, 0] = rad3[0]
+        out_ref[0, 1] = rad3[1]
+        out_ref[0, 2] = rad3[2]
+        out_ref[0, 3] = hitf
+        out_ref[0, 4] = tz
+        for i, vv in enumerate(nstate):
+            out_ref[0, 5 + i] = vv
+        zero = jnp.zeros(shape, jnp.float32)
+        out_ref[0, 5 + 14] = zero
+        out_ref[0, 5 + 15] = zero
+
+
+# ---------------------------------------------------------------------------
+# XLA texture segment (channelwise)
+
+
+def _seg_texture(scene, mtl, u, v):
+    """kd/ks per lane: material color x texture sample
+    (TexturedColor::Sample, main.cpp:531-532)."""
+    from rtf_tpu.ops.texture import _sel_rows, sample_texmap_ch
+    m = scene.materials
+    mi = mtl.astype(jnp.int32)
+    out = []
+    for color_tbl, tm_tbl, name in (
+            (m.diffuse, m.diffuse_tm, "diffuse"),
+            (m.specular, m.specular_tm, "specular")):
+        base = [_sel_rows(color_tbl[:, c], mi) for c in range(3)]
+        if name in scene.tm_channels:
+            tm = _sel_rows(tm_tbl, mi)
+            tex = sample_texmap_ch(scene, tm, u, v)
+            base = [base[c] * tex[c] for c in range(3)]
+        out.append(tuple(base))
+    return out[0], out[1]
+
+
+def _seg_env(scene, dx, dy, dz):
+    """Environment radiance per lane (SampleEnvironment,
+    scene.h:426-432); solid env colors come back as python floats so the
+    kernel sees constants."""
+    if scene.env_tm < 0:
+        return None   # caller uses constant env rows
+    from rtf_tpu.ops.texture import env_uv_ch, sample_texmap_ch
+    u, v = env_uv_ch(dx, dy, dz)
+    tm = jnp.full(dx.shape, scene.env_tm, jnp.int32)
+    tex = sample_texmap_ch(scene, tm, u, v)
+    ec = scene.env_color
+    return tuple(ec[c] * tex[c] for c in range(3))
+
+
+# ---------------------------------------------------------------------------
+# driver
+
+
+def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
+                   bounces=None, mesh_tables=None):
+    """Full wave on the segmented path; same contract as
+    fused.fused_wave (primary channel tuples in, (rad3, hit, z) out)."""
+    n0 = o3[0].shape[0]
+    n = _pad_blocks(n0)
+    nblk = n // BLOCK
+    interpret = jax.default_backend() != "tpu"
+
+    def padded(x, fill=0.0):
+        if x.shape[0] == n:
+            return x
+        return jnp.concatenate([x, jnp.full((n - n0,), fill, x.dtype)])
+
+    alive_f = padded(alive.astype(jnp.float32))
+    one = jnp.ones((n,), jnp.float32)
+    cols = {R_ALIVE: alive_f}
+    for c in range(3):
+        cols[R_O + c] = padded(jnp.where(alive, o3[c], SENTINEL), SENTINEL)
+        cols[R_D + c] = padded(d3[c], 1.0)
+        cols[R_TPUT + c] = one
+    rays = _pack_rays_sh(cols)
+
+    nb = cfg.bounces if bounces is None else bounces
+    cfg_c = dict(light_average=cfg.light_average,
+                 inverse_square=cfg.inverse_square,
+                 env_on_reflect_miss=cfg.env_on_reflect_miss,
+                 total_reflection_threshold=cfg.total_reflection_threshold,
+                 color_threshold=cfg.color_threshold,
+                 shadow_samples=cfg.shadow_max,
+                 shadow_min_samples=cfg.shadow_min)
+
+    has_mesh = mesh_tables is not None
+    hit_kern = functools.partial(_seg_hit_kernel, consts=consts,
+                                 has_mesh_tables=has_mesh)
+    shade_kern = functools.partial(_seg_shade_kernel, consts=consts,
+                                   cfg_c=cfg_c, use_pid=not interpret,
+                                   has_mesh_tables=has_mesh)
+    mesh_specs, mesh_args = [], []
+    if has_mesh:
+        trit, shade, aabb = mesh_tables
+        mesh_specs = [
+            pl.BlockSpec(trit.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(shade.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(aabb.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        mesh_args = [trit, shade, aabb]
+    seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    scratch = [pltpu.VMEM((8, SUB, TRI_LANES), jnp.float32)]
+
+    def row(a, r):
+        return a[:, r].reshape(n)
+
+    env_const = tuple(float(x) for x in np.asarray(consts["env"]))
+
+    racc = [jnp.zeros((n,), jnp.float32) for _ in range(3)]
+    hit0 = z0 = None
+    for b in range(nb + 1):
+        hit = pl.pallas_call(
+            hit_kern, grid=(nblk,),
+            out_shape=jax.ShapeDtypeStruct(
+                (nblk, HIT_ROWS, SUB, TRI_LANES), jnp.float32),
+            in_specs=[_blk4(16)] + mesh_specs,
+            out_specs=_blk4(HIT_ROWS),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(rays, *mesh_args)
+
+        mtl_l = row(hit, 4)
+        u_l = row(hit, 6)
+        v_l = row(hit, 7)
+        kd3, ks3 = _seg_texture(scene, mtl_l, u_l, v_l)
+        env3 = _seg_env(scene, row(rays, R_D), row(rays, R_D + 1),
+                        row(rays, R_D + 2))
+        if env3 is None:
+            env3 = tuple(jnp.full((n,), env_const[c], jnp.float32)
+                         for c in range(3))
+        tex = jnp.concatenate(
+            [x.reshape(nblk, 1, SUB, TRI_LANES)
+             for x in (list(kd3) + list(ks3) + list(env3))], axis=1)
+
+        seeds = jnp.full((1, 1), seed + b * 101, jnp.int32)
+        out = pl.pallas_call(
+            shade_kern, grid=(nblk,),
+            out_shape=jax.ShapeDtypeStruct(
+                (nblk, OUT_ROWS, SUB, TRI_LANES), jnp.float32),
+            in_specs=[seed_spec, _blk4(16), _blk4(HIT_ROWS),
+                      _blk4(TEX_ROWS)] + mesh_specs,
+            out_specs=_blk4(OUT_ROWS),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(seeds, rays, hit, tex, *mesh_args)
+
+        for c in range(3):
+            racc[c] = racc[c] + row(out, c)
+        if b == 0:
+            hit0 = row(out, 3) > 0.0
+            z0 = row(out, 4)
+        rays = out[:, 5:21]
+
+    return (tuple(r[:n0] for r in racc), hit0[:n0], z0[:n0])

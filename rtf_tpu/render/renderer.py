@@ -58,7 +58,7 @@ def _wave_stats(scene, cfg, sample_lo: int, sample_hi: int, key,
 
 def _wave_body(carry, scene, cfg, mask_lanes, key, j, gi_grid=None,
                fused_consts=None, gi_vol=None, mesh_tables=None,
-               caustic_grid=None):
+               caustic_grid=None, fused_mode="mono"):
     """One sample wave for all pixels, accumulated in LANE space (lane k
     renders pixel order[k], camera.pixel_order).  Nothing in the wave
     loop gathers or scatters; the lane->pixel conversion happens once
@@ -80,7 +80,12 @@ def _wave_body(carry, scene, cfg, mask_lanes, key, j, gi_grid=None,
             dof=scene.dof > 0)
         seed32 = jax.random.randint(
             jax.random.fold_in(kj, 7), (), 0, 2 ** 31 - 1)
-        if cfg.gi_mode == "none":
+        if fused_mode == "seg":
+            from rtf_tpu.render.fused_seg import fused_wave_seg
+            rad3, hitl, zl = fused_wave_seg(
+                cfg, fused_consts.obj, scene, o3, d3, mask_lanes,
+                seed32.astype(jnp.int32), mesh_tables=mesh_tables)
+        elif cfg.gi_mode == "none":
             rad3, hitl, zl = fused_wave(
                 cfg, fused_consts.obj, o3, d3, mask_lanes,
                 seed32.astype(jnp.int32), mesh_tables=mesh_tables)
@@ -124,10 +129,11 @@ def lanes_to_pixels(rad, hits, z, nsamples, order):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "fused_consts", "nsub"))
+                   static_argnames=("cfg", "fused_consts", "nsub",
+                                    "fused_mode"))
 def _wave_step(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
                fused_consts=None, gi_vol=None, mesh_tables=None, nsub=1,
-               caustic_grid=None):
+               caustic_grid=None, fused_mode="mono"):
     """nsub sample waves per dispatch (amortizes per-call host/tunnel
     overhead; lax.scan keeps the compiled size at one wave).
 
@@ -138,14 +144,16 @@ def _wave_step(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
         return _wave_body(carry, scene, cfg, mask_pixels, key, j,
                           gi_grid=gi_grid, fused_consts=fused_consts,
                           gi_vol=gi_vol, mesh_tables=mesh_tables,
-                          caustic_grid=caustic_grid)
+                          caustic_grid=caustic_grid,
+                          fused_mode=fused_mode)
     carry, _ = jax.lax.scan(
         lambda c, jj: (_wave_body(c, scene, cfg, mask_pixels, key, jj,
                                   gi_grid=gi_grid,
                                   fused_consts=fused_consts,
                                   gi_vol=gi_vol,
                                   mesh_tables=mesh_tables,
-                                  caustic_grid=caustic_grid), None),
+                                  caustic_grid=caustic_grid,
+                                  fused_mode=fused_mode), None),
         carry, j + jnp.arange(nsub))
     return carry
 
@@ -268,9 +276,15 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
         else:
             gi_vol = gi_grid
     mesh_tables = None
+    fused_mode = "mono"
     if jax.default_backend() == "tpu" and caustic_grid is None:
         from rtf_tpu.render.fused import frozen_consts, fusable, mxu_tables
+        from rtf_tpu.render.fused_seg import fusable_seg
         if fusable(scene, cfg):
+            fused_consts = frozen_consts(scene)
+            mesh_tables = mxu_tables(scene)
+        elif fusable_seg(scene, cfg):
+            fused_mode = "seg"
             fused_consts = frozen_consts(scene)
             mesh_tables = mxu_tables(scene)
     if fused_consts is not None:
@@ -317,7 +331,8 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
                                    gi_vol=gi_vol,
                                    mesh_tables=mesh_tables,
                                    nsub=k,
-                                   caustic_grid=caustic_grid)
+                                   caustic_grid=caustic_grid,
+                                   fused_mode=fused_mode)
                 j += k
             return carry
 
