@@ -54,6 +54,25 @@ def main():
     # per sample (bounce-queue rays are extra, uncounted — conservative)
     rays = 2.0 * WIDTH * HEIGHT * SPP
     mrays = rays / dt / 1e6
+
+    # secondary figure: hemisphere-GI frame (fused host-chunked path)
+    gi_dt = None
+    try:
+        gi_scene = build_scene(box_scene(width=400, height=300,
+                                         with_mesh=True))
+        gi_cfg = RenderConfig(min_samples=8, max_samples=8, bounces=2,
+                              shadow_min=1, shadow_max=1,
+                              gi_mode="hemisphere", hemisphere_samples=4,
+                              queue_factor=1.0)
+        out = render_device_host(gi_scene, gi_cfg, jax.random.PRNGKey(0))
+        np.asarray(jnp.isfinite(out[0]).all())
+        t0 = time.perf_counter()
+        out = render_device_host(gi_scene, gi_cfg, jax.random.PRNGKey(1))
+        assert bool(np.asarray(jnp.isfinite(out[0]).all()))
+        gi_dt = round(time.perf_counter() - t0, 3)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "Mrays/sec/chip (primary+shadow)",
         "value": round(mrays, 2),
@@ -64,6 +83,7 @@ def main():
             "resolution": f"{WIDTH}x{HEIGHT}",
             "spp": SPP,
             "bounces": BOUNCES,
+            "gi_frame_time_s_400x300_8spp_4hemi": gi_dt,
             "device": str(jax.devices()[0]),
         },
     }))

@@ -59,7 +59,7 @@ def make_mesh(n_tile: int = None, n_spp: int = 1, devices=None) -> Mesh:
 
 
 def render_sharded(scene, cfg, mesh: Mesh, seed: int = 0,
-                   fused: bool = None):
+                   fused: bool = None, gi_vol=None):
     """Render scene.width x scene.height with spp = cfg.min_samples x
     (spp axis size), sharded over the mesh. Returns (radiance [P,3],
     hit_count [P], z [P]) fully replicated on the host.
@@ -88,9 +88,10 @@ def render_sharded(scene, cfg, mesh: Mesh, seed: int = 0,
     px_per_shard = num_px // n_tile
 
     if fused is None:
-        # photon-volume GI needs a prebuilt volume this entry doesn't
-        # plumb yet; route it to the XLA path
-        fused = fusable(scene, cfg) and cfg.gi_mode != "photon"
+        # photon-volume GI rides the fused path only when the caller
+        # passes the prebuilt irradiance volume (gi_vol)
+        fused = fusable(scene, cfg) and (cfg.gi_mode != "photon"
+                                         or gi_vol is not None)
     if fused:
         consts = frozen_consts(scene)
         mesh_tables = mxu_tables(scene)
@@ -133,7 +134,7 @@ def render_sharded(scene, cfg, mesh: Mesh, seed: int = 0,
                 else:
                     rad3, hitl, zl = fused_gi_wave(
                         cfg, consts.obj, o3, d3, mask, seed32,
-                        jax.random.fold_in(kj, 11),
+                        jax.random.fold_in(kj, 11), gi_vol=gi_vol,
                         mesh_tables=mesh_tables)
                 rad = rad + jnp.stack(rad3, axis=-1)
                 hits = hits + hitl.astype(jnp.int32)
