@@ -1523,12 +1523,16 @@ def _hemisphere_dirs_ch(n3, key):
 
 
 def fused_gi_primary(cfg, consts, o3, d3, alive, seed, gi_vol=None,
-                     mesh_tables=None):
+                     mesh_tables=None, wave_fn=None):
     """Primary fused launch for GI: direct radiance (+ deep-bounce
     irradiance-volume terms) and the first-hit surface rows needed to
-    fan out hemisphere samples later.  Returns (rad3, hit, z, surf)."""
+    fan out hemisphere samples later.  Returns (rad3, hit, z, surf).
+
+    wave_fn: the wave implementation — fused_wave (default) or the
+    segmented fused_wave_seg (bound to its scene)."""
+    wave = wave_fn or fused_wave
     use_photon = gi_vol is not None
-    rad3, hit0, z0, surf, queries = fused_wave(
+    rad3, hit0, z0, surf, queries = wave(
         cfg, consts, o3, d3, alive, seed,
         surf_out=True, gi_from=1 if use_photon else None,
         mesh_tables=mesh_tables)
@@ -1539,13 +1543,15 @@ def fused_gi_primary(cfg, consts, o3, d3, alive, seed, gi_vol=None,
 
 
 def fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key, i0,
-                    n_chunk, gi_vol=None, mesh_tables=None):
+                    n_chunk, gi_vol=None, mesh_tables=None,
+                    wave_fn=None):
     """Hemisphere samples [i0, i0+n_chunk) of cfg.hemisphere_samples
     total (each weighted 1/S), re-launched from the cached first-hit
     surface.  Partial sums over disjoint ranges add up to exactly the
     full fan-out, so the host can split the 30-sample loop into small
     dispatches (the 800x600 full fan-out in ONE dispatch exceeds the
     backend's per-dispatch runtime limits)."""
+    wave = wave_fn or fused_wave
     s = cfg.hemisphere_samples
     use_photon = gi_vol is not None
     p3 = surf[0:3]
@@ -1563,7 +1569,7 @@ def fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key, i0,
             > 0.0)
         o3c = _offset_origin(p3[0], p3[1], p3[2], n3[0], n3[1], n3[2],
                              dirs[0], dirs[1], dirs[2])
-        out_c = fused_wave(
+        out_c = wave(
             cfg, consts, o3c, dirs, alive_c,
             seed + (i + 1) * 104729, tput3=tput3,
             rtype=RT_REFRACT,
@@ -1584,7 +1590,7 @@ def fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key, i0,
 
 
 def fused_gi_wave(cfg, consts, o3, d3, alive, seed, key, gi_vol=None,
-                  mesh_tables=None):
+                  mesh_tables=None, wave_fn=None):
     """One GI sample wave on the fused path: primary launch (all Fresnel
     bounces in-kernel) + cfg.hemisphere_samples re-launches from the
     first-hit surface + irradiance-volume terms for every deep bounce.
@@ -1595,11 +1601,11 @@ def fused_gi_wave(cfg, consts, o3, d3, alive, seed, key, gi_vol=None,
     modes (no photon map).  Returns (rad3, hit, z) like fused_wave."""
     rad3, hit0, z0, surf = fused_gi_primary(
         cfg, consts, o3, d3, alive, seed, gi_vol=gi_vol,
-        mesh_tables=mesh_tables)
+        mesh_tables=mesh_tables, wave_fn=wave_fn)
     s = cfg.hemisphere_samples
     if s > 0:
         gi3 = fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key,
                               0, s, gi_vol=gi_vol,
-                              mesh_tables=mesh_tables)
+                              mesh_tables=mesh_tables, wave_fn=wave_fn)
         rad3 = tuple(rad3[c] + gi3[c] for c in range(3))
     return rad3, hit0, z0

@@ -54,8 +54,10 @@ def fusable_seg(scene, cfg) -> bool:
     """Can this scene+config run on the segmented path?  Everything the
     monolithic gate requires EXCEPT kd/ks/env/bg texture restrictions —
     textures are free here (incl. on mesh materials: the hit kernels
-    interpolate per-face vertex uv)."""
-    if cfg.gi_mode != "none":
+    interpolate per-face vertex uv).  GI modes ride the same fused GI
+    drivers with wave_fn=fused_wave_seg; 'photon' needs the
+    irradiance-volume option like the monolithic path."""
+    if cfg.gi_mode == "photon" and not cfg.photon_volume:
         return False
     if cfg.resolved_split_mode() != "rr":
         return False
@@ -130,9 +132,14 @@ def _seg_hit_kernel(rays_ref, *refs, consts, has_mesh_tables=False):
 
 def _seg_shade_kernel(seed_ref, rays_ref, hit_ref, tex_ref, *refs,
                       consts, cfg_c, use_pid=True,
-                      has_mesh_tables=False):
+                      has_mesh_tables=False, gi_out=False):
     """Shading from precomputed hit + texture rows: direct lighting +
-    shadows + Fresnel/RR; emits radiance and the next ray state."""
+    shadows + Fresnel/RR; emits radiance and the next ray state.
+
+    gi_out: also emit this bounce's surface rows (p, n, kd, k_eff) and
+    the photon-query weight kd*k_eff at rows 21-32 / 33-35 — the driver
+    turns them into hemisphere fan-outs and irradiance-volume lookups
+    exactly like the monolithic kernel's surf_out/gi_from outputs."""
     if has_mesh_tables:
         trit_ref, shade_ref, aabb_ref, out_ref, st = refs
         mesh_refs = (trit_ref, shade_ref, aabb_ref)
@@ -143,13 +150,14 @@ def _seg_shade_kernel(seed_ref, rays_ref, hit_ref, tex_ref, *refs,
     ht = hit_ref[0]
     tx = tex_ref[0]
     shape = (SUB, TRI_LANES)
+    n_rows = OUT_ROWS + (15 if gi_out else 0)
     seed0 = seed_ref[0, 0] + (pl.program_id(0) * 7919 if use_pid else 0)
     any_alive = jnp.max(sh[R_ALIVE]) > 0.0
 
     @pl.when(~any_alive)
     def _():
         zero = jnp.zeros(shape, jnp.float32)
-        for r in range(OUT_ROWS):
+        for r in range(n_rows):
             out_ref[0, r] = jnp.full(shape, BIG, jnp.float32) if r == 4 \
                 else zero
         out_ref[0, 5 + R_O] = jnp.full(shape, SENTINEL, jnp.float32)
@@ -179,6 +187,11 @@ def _seg_shade_kernel(seed_ref, rays_ref, hit_ref, tex_ref, *refs,
         zero = jnp.zeros(shape, jnp.float32)
         out_ref[0, 5 + 14] = zero
         out_ref[0, 5 + 15] = zero
+        if gi_out:
+            for i in range(12):
+                out_ref[0, 21 + i] = surf[i]
+            for c in range(3):
+                out_ref[0, 33 + c] = qw[c]
 
 
 # ---------------------------------------------------------------------------
@@ -223,9 +236,12 @@ def _seg_env(scene, dx, dy, dz):
 
 
 def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
-                   bounces=None, mesh_tables=None):
+                   bounces=None, tput3=None, absorb3=None, rtype=None,
+                   surf_out=False, gi_from=None, mesh_tables=None):
     """Full wave on the segmented path; same contract as
-    fused.fused_wave (primary channel tuples in, (rad3, hit, z) out)."""
+    fused.fused_wave (primary channel tuples in, (rad3, hit, z) out;
+    with surf_out/gi_from also (surf rows, per-bounce queries) — so the
+    fused GI drivers work unchanged with wave_fn=this)."""
     n0 = o3[0].shape[0]
     n = _pad_blocks(n0)
     nblk = n // BLOCK
@@ -242,7 +258,11 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
     for c in range(3):
         cols[R_O + c] = padded(jnp.where(alive, o3[c], SENTINEL), SENTINEL)
         cols[R_D + c] = padded(d3[c], 1.0)
-        cols[R_TPUT + c] = one
+        cols[R_TPUT + c] = one if tput3 is None else padded(tput3[c])
+        if absorb3 is not None:
+            cols[R_TPUT + 3 + c] = padded(absorb3[c])
+    if rtype is not None:
+        cols[R_RTYPE] = padded(jnp.full((n0,), float(rtype), jnp.float32))
     rays = _pack_rays_sh(cols)
 
     nb = cfg.bounces if bounces is None else bounces
@@ -255,11 +275,14 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
                  shadow_min_samples=cfg.shadow_min)
 
     has_mesh = mesh_tables is not None
+    gi_out = surf_out or gi_from is not None
+    n_out = OUT_ROWS + (15 if gi_out else 0)
     hit_kern = functools.partial(_seg_hit_kernel, consts=consts,
                                  has_mesh_tables=has_mesh)
     shade_kern = functools.partial(_seg_shade_kernel, consts=consts,
                                    cfg_c=cfg_c, use_pid=not interpret,
-                                   has_mesh_tables=has_mesh)
+                                   has_mesh_tables=has_mesh,
+                                   gi_out=gi_out)
     mesh_specs, mesh_args = [], []
     if has_mesh:
         trit, shade, aabb = mesh_tables
@@ -283,6 +306,8 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
 
     racc = [jnp.zeros((n,), jnp.float32) for _ in range(3)]
     hit0 = z0 = None
+    surf0 = None
+    queries = []
     for b in range(nb + 1):
         hit = pl.pallas_call(
             hit_kern, grid=(nblk,),
@@ -311,10 +336,10 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
         out = pl.pallas_call(
             shade_kern, grid=(nblk,),
             out_shape=jax.ShapeDtypeStruct(
-                (nblk, OUT_ROWS, SUB, TRI_LANES), jnp.float32),
+                (nblk, n_out, SUB, TRI_LANES), jnp.float32),
             in_specs=[seed_spec, _blk4(16), _blk4(HIT_ROWS),
                       _blk4(TEX_ROWS)] + mesh_specs,
-            out_specs=_blk4(OUT_ROWS),
+            out_specs=_blk4(n_out),
             scratch_shapes=scratch,
             interpret=interpret,
         )(seeds, rays, hit, tex, *mesh_args)
@@ -324,6 +349,16 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
         if b == 0:
             hit0 = row(out, 3) > 0.0
             z0 = row(out, 4)
+            if surf_out:
+                surf0 = tuple(row(out, 21 + r)[:n0] for r in range(12))
+        if gi_from is not None and b >= gi_from:
+            queries.append((
+                tuple(row(out, 21 + r)[:n0] for r in range(3)),
+                tuple(row(out, 24 + r)[:n0] for r in range(3)),
+                tuple(row(out, 33 + r)[:n0] for r in range(3))))
         rays = out[:, 5:21]
 
-    return (tuple(r[:n0] for r in racc), hit0[:n0], z0[:n0])
+    rad3 = tuple(r[:n0] for r in racc)
+    if not surf_out and gi_from is None:
+        return (rad3, hit0[:n0], z0[:n0])
+    return (rad3, hit0[:n0], z0[:n0], surf0, queries)

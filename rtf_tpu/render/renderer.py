@@ -32,6 +32,17 @@ from rtf_tpu.render.config import RenderConfig
 from rtf_tpu.render.integrator import WaveOutput, render_wave
 
 
+def _seg_wave_fn(scene):
+    """Bind the segmented wave to its scene (texture tables live on the
+    scene, not in the kernel immediates)."""
+    from rtf_tpu.render.fused_seg import fused_wave_seg
+
+    def wave_fn(cfg, consts, o3, d3, alive, seed, **kw):
+        return fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
+                              **kw)
+    return wave_fn
+
+
 class RenderResult(NamedTuple):
     image: np.ndarray         # [H,W,3] uint8 (gamma'd like the reference)
     radiance: np.ndarray      # [H,W,3] float32 linear
@@ -80,20 +91,22 @@ def _wave_body(carry, scene, cfg, mask_lanes, key, j, gi_grid=None,
             dof=scene.dof > 0)
         seed32 = jax.random.randint(
             jax.random.fold_in(kj, 7), (), 0, 2 ** 31 - 1)
-        if fused_mode == "seg":
-            from rtf_tpu.render.fused_seg import fused_wave_seg
-            rad3, hitl, zl = fused_wave_seg(
-                cfg, fused_consts.obj, scene, o3, d3, mask_lanes,
-                seed32.astype(jnp.int32), mesh_tables=mesh_tables)
-        elif cfg.gi_mode == "none":
-            rad3, hitl, zl = fused_wave(
-                cfg, fused_consts.obj, o3, d3, mask_lanes,
-                seed32.astype(jnp.int32), mesh_tables=mesh_tables)
+        wave_fn = _seg_wave_fn(scene) if fused_mode == "seg" else None
+        if cfg.gi_mode == "none":
+            if wave_fn is not None:
+                rad3, hitl, zl = wave_fn(
+                    cfg, fused_consts.obj, o3, d3, mask_lanes,
+                    seed32.astype(jnp.int32), mesh_tables=mesh_tables)
+            else:
+                rad3, hitl, zl = fused_wave(
+                    cfg, fused_consts.obj, o3, d3, mask_lanes,
+                    seed32.astype(jnp.int32), mesh_tables=mesh_tables)
         else:
             rad3, hitl, zl = fused_gi_wave(
                 cfg, fused_consts.obj, o3, d3, mask_lanes,
                 seed32.astype(jnp.int32), jax.random.fold_in(kj, 11),
-                gi_vol=gi_vol, mesh_tables=mesh_tables)
+                gi_vol=gi_vol, mesh_tables=mesh_tables,
+                wave_fn=wave_fn)
         contrib = jnp.stack(rad3, axis=0)
         hit_count = hitl.astype(jnp.int32)
         z_min = jnp.where(hitl, zl, jnp.float32(1.0e30))
@@ -158,9 +171,10 @@ def _wave_step(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
     return carry
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "fused_consts"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "fused_consts", "fused_mode"))
 def _gi_primary_step(scene, cfg, mask_lanes, key, j, fused_consts,
-                     gi_vol=None, mesh_tables=None):
+                     gi_vol=None, mesh_tables=None, fused_mode="mono"):
     """Fused-GI sample, primary dispatch: direct radiance + first-hit
     surface rows (the hemisphere fan-out follows in _gi_chunk_step
     dispatches — one 800x600 sample with the full 20-30-sample fan-out
@@ -177,24 +191,27 @@ def _gi_primary_step(scene, cfg, mask_lanes, key, j, fused_consts,
         dof=scene.dof > 0)
     seed32 = jax.random.randint(
         jax.random.fold_in(kj, 7), (), 0, 2 ** 31 - 1).astype(jnp.int32)
+    wave_fn = _seg_wave_fn(scene) if fused_mode == "seg" else None
     rad3, hitl, zl, surf = fused_gi_primary(
         cfg, fused_consts.obj, o3, d3, mask_lanes, seed32,
-        gi_vol=gi_vol, mesh_tables=mesh_tables)
+        gi_vol=gi_vol, mesh_tables=mesh_tables, wave_fn=wave_fn)
     return (jnp.stack(rad3, axis=0), hitl, zl, surf, seed32,
             jax.random.fold_in(kj, 11))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "fused_consts", "n_chunk"))
-def _gi_chunk_step(cfg, fused_consts, contrib, surf, hitl, mask_lanes,
-                   seed32, kgi, i0, n_chunk, gi_vol=None,
-                   mesh_tables=None):
+                   static_argnames=("cfg", "fused_consts", "n_chunk",
+                                    "fused_mode"))
+def _gi_chunk_step(scene, cfg, fused_consts, contrib, surf, hitl,
+                   mask_lanes, seed32, kgi, i0, n_chunk, gi_vol=None,
+                   mesh_tables=None, fused_mode="mono"):
     """n_chunk hemisphere samples starting at (traced) index i0, added
     into the sample's contribution accumulator."""
     from rtf_tpu.render.fused import fused_gi_chunks
+    wave_fn = _seg_wave_fn(scene) if fused_mode == "seg" else None
     gi3 = fused_gi_chunks(cfg, fused_consts.obj, surf, hitl, mask_lanes,
                           seed32, kgi, i0, n_chunk, gi_vol=gi_vol,
-                          mesh_tables=mesh_tables)
+                          mesh_tables=mesh_tables, wave_fn=wave_fn)
     return contrib + jnp.stack(gi3, axis=0)
 
 
@@ -309,14 +326,16 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
             for j in range(lo, hi):
                 contrib, hitl, zl, surf, seed32, kgi = _gi_primary_step(
                     scene, cfg, mask, kphase, j, fused_consts,
-                    gi_vol=gi_vol, mesh_tables=mesh_tables)
+                    gi_vol=gi_vol, mesh_tables=mesh_tables,
+                    fused_mode=fused_mode)
                 i0 = 0
                 while i0 < s:
                     nc = min(chunk, s - i0)
                     contrib = _gi_chunk_step(
-                        cfg, fused_consts, contrib, surf, hitl, mask,
-                        seed32, kgi, jnp.int32(i0), nc, gi_vol=gi_vol,
-                        mesh_tables=mesh_tables)
+                        scene, cfg, fused_consts, contrib, surf, hitl,
+                        mask, seed32, kgi, jnp.int32(i0), nc,
+                        gi_vol=gi_vol, mesh_tables=mesh_tables,
+                        fused_mode=fused_mode)
                     i0 += nc
                 carry = _gi_fold(carry, contrib, hitl, zl)
             return carry

@@ -142,3 +142,44 @@ def test_seg_mesh_texture_matches_xla(subdiv):
     inv_np = np.asarray(inv)
     rad_f = np.stack([np.asarray(rad3[c])[inv_np] for c in range(3)], 1)
     np.testing.assert_allclose(rad_f, np.asarray(out.radiance), atol=5e-4)
+
+
+def test_seg_gi_hemisphere_mean_matches_xla():
+    """Segmented fused GI (wave_fn plumbed through the fused GI
+    drivers) tracks the XLA hemisphere-GI path in the mean, with
+    textures in play."""
+    from rtf_tpu.render.fused import fused_gi_wave
+    scene = build_scene(_textured_desc(48, 32))
+    cfg = RenderConfig(min_samples=8, max_samples=8, bounces=2,
+                       shadow_min=1, shadow_max=1, gi_mode="hemisphere",
+                       hemisphere_samples=6)
+    assert fusable_seg(scene, cfg)
+    w, h = scene.width, scene.height
+    order = jnp.asarray(pixel_order(w, h))
+    px, py = order % w, order // w
+    key = jax.random.PRNGKey(0)
+    o, d = primary_rays(scene, px, py, jnp.zeros_like(px), key=key,
+                        halton_bases=(2, 3))
+    o3, d3 = primary_rays_ch(scene, px, py, jnp.zeros_like(px), key=key,
+                             halton_bases=(2, 3))
+    n = w * h
+    alive = jnp.ones((n,), bool)
+    consts = frozen_consts(scene).obj
+
+    def wave_fn(cfg_, consts_, o3_, d3_, alive_, seed_, **kw):
+        return fused_wave_seg(cfg_, consts_, scene, o3_, d3_, alive_,
+                              seed_, **kw)
+
+    rad3, hit, z = fused_gi_wave(cfg, consts, o3, d3, alive,
+                                 jnp.int32(5), jax.random.PRNGKey(2),
+                                 mesh_tables=mxu_tables(scene),
+                                 wave_fn=wave_fn)
+    inv = jnp.asarray(pixel_order_inv(w, h))
+    out = I.render_wave(scene, cfg, o, d, order, alive, key, n,
+                        inv_pixel=inv)
+    mean_f = float(sum(np.asarray(c).mean() for c in rad3) / 3.0)
+    mean_x = float(np.asarray(out.radiance).mean())
+    rad0 = I.render_wave(scene, cfg.with_(gi_mode="none"), o, d,
+                         order, alive, key, n, inv_pixel=inv).radiance
+    assert mean_f > float(np.asarray(rad0).mean())
+    assert abs(mean_f - mean_x) / max(mean_x, 1e-9) < 0.08
