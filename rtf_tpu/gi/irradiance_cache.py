@@ -70,6 +70,28 @@ def _first_hits(scene, key):
     return surf.p, surf.n, z, mtl.kd, surf.valid, surf.front
 
 
+def _eval_irradiance_fused(scene, cfg, p, n, mask, key):
+    """Fused-path E evaluator: reuse the fused GI fan-out with a
+    synthetic surface (kd = k_eff = 1, so the chunk weights reduce to
+    cos/S) — every hemisphere ray runs through the Pallas wave kernel
+    instead of the XLA chain."""
+    import jax.numpy as jnp
+    from rtf_tpu.render.fused import (
+        frozen_consts, fused_gi_chunks, mxu_tables,
+    )
+    b = p.shape[0]
+    one = jnp.ones((b,), jnp.float32)
+    surf = (p[:, 0], p[:, 1], p[:, 2], n[:, 0], n[:, 1], n[:, 2],
+            one, one, one, one, one, one)
+    s = max(int(cfg.hemisphere_samples), 1)
+    seed = jax.random.randint(jax.random.fold_in(key, 5), (), 0,
+                              2 ** 31 - 1).astype(jnp.int32)
+    gi3 = fused_gi_chunks(cfg, frozen_consts(scene).obj, surf, mask,
+                          mask, seed, key, 0, s,
+                          mesh_tables=mxu_tables(scene))
+    return jnp.stack(gi3, axis=-1)
+
+
 def _eval_irradiance(scene, cfg, p, n, mask, key):
     """E at `p`/`n` ([B,3]): cfg.hemisphere_samples cosine-weighted
     hemisphere rays, each fully shaded through the bounce chain (the
@@ -158,10 +180,22 @@ def _bilerp_from_level(E_img, z_img, n_img, w, h, xs, ys, qx, qy):
 def build_irradiance_cache(scene, cfg, key, max_spacing: int = 16,
                            tol: float = 0.1, z_tol: float = 0.1,
                            n_tol: float = 0.9,
-                           budget_frac: float = 0.35) -> IrradianceCache:
+                           budget_frac: float = 0.35,
+                           evaluator: str = "auto") -> IrradianceCache:
     """Coarse-to-fine cache build.  Level 0 computes every point of the
     max_spacing grid; each halving level computes only gated points
-    (budgeted compaction), interpolating the rest from the parents."""
+    (budgeted compaction), interpolating the rest from the parents.
+
+    evaluator: 'auto' uses the fused Pallas evaluator on TPU when the
+    scene qualifies (fusable), else the XLA chain."""
+    import jax as _jax
+    eval_fn = _eval_irradiance
+    if evaluator == "fused" or (
+            evaluator == "auto" and _jax.default_backend() == "tpu"):
+        from rtf_tpu.render.fused import fusable
+        if evaluator == "fused" or fusable(scene, cfg.with_(
+                gi_mode="none", split_mode="rr")):
+            eval_fn = _eval_irradiance_fused
     w, h = scene.width, scene.height
     num_px = w * h
     kf, ke = jax.random.split(jax.random.PRNGKey(0) if key is None
@@ -197,7 +231,7 @@ def build_irradiance_cache(scene, cfg, key, max_spacing: int = 16,
         if li == 0:
             comp_ids = ids
             comp_mask = need
-            E_new = _eval_irradiance(
+            E_new = eval_fn(
                 scene, cfg, p[comp_ids], n[comp_ids], comp_mask,
                 jax.random.fold_in(ke, li))
             E_img = E_img.at[comp_ids].set(
@@ -215,7 +249,7 @@ def build_irradiance_cache(scene, cfg, key, max_spacing: int = 16,
             # entries past the true count are fill padding -> mask off
             comp_mask = (jnp.arange(budget) < jnp.sum(need)) & need[sel]
             comp_ids = ids[sel]
-            E_new = _eval_irradiance(
+            E_new = eval_fn(
                 scene, cfg, p[comp_ids], n[comp_ids], comp_mask,
                 jax.random.fold_in(ke, li))
             E_img = E_img.at[comp_ids].set(

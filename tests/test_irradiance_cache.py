@@ -49,3 +49,17 @@ def test_cache_render_tracks_full_gi(scene):
     ind_cache = m_cache - m_dir
     assert 0.5 < ind_cache / ind_full < 1.7
     assert np.isfinite(cached.radiance).all()
+
+
+def test_cache_fused_evaluator_matches(scene):
+    """The fused-kernel E evaluator (synthetic surface through
+    fused_gi_chunks) agrees with the XLA evaluator in the mean."""
+    from rtf_tpu.gi.irradiance_cache import build_irradiance_cache
+    xla = build_irradiance_cache(scene, GI, jax.random.PRNGKey(2),
+                                 max_spacing=8)
+    fused = build_irradiance_cache(scene, GI, jax.random.PRNGKey(2),
+                                   max_spacing=8, evaluator="fused")
+    ex = float(np.asarray(xla.E).mean())
+    ef = float(np.asarray(fused.E).mean())
+    assert ex > 0 and ef > 0
+    assert 0.8 < ef / ex < 1.25
