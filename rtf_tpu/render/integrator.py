@@ -24,14 +24,14 @@ add nothing (quirk of main.cpp:613-638, preserved).  GI hooks:
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
 from rtf_tpu.core.math import dot, luma, normalize, offset_origin
-from rtf_tpu.ops.texture import sample_background, sample_environment
+from rtf_tpu.ops.texture import sample_environment
 from rtf_tpu.ops.trace import resolve_surface, trace
 from rtf_tpu.render.shade import (
     direct_lighting, fresnel_split, sample_material,

@@ -23,7 +23,6 @@ from rtf_tpu.core.math import (
 )
 from rtf_tpu.ops.texture import sample_textured_color
 from rtf_tpu.ops.trace import trace_shadow
-from rtf_tpu.scene.build import LIGHT_AMBIENT, LIGHT_DIRECT, LIGHT_POINT
 
 
 class MtlSample(NamedTuple):

@@ -14,8 +14,6 @@ from __future__ import annotations
 import dataclasses
 import sys
 
-import numpy as np
-
 REF = "/root/reference"
 
 # name -> (scene xml, golden png, profile name, overrides)
