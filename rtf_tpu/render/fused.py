@@ -1011,8 +1011,19 @@ def _wave_kernel(seed_ref, rays_ref, *refs, consts, cfg_c, nbounce,
         zero = jnp.zeros(shape, jnp.float32)
         acc = (zero, zero, zero, zero, jnp.full(shape, BIG, jnp.float32))
 
-        def bounce(b, carry):
-            state, acc = carry
+        # early-exit bounce loop (while, not fori): pre-zero the
+        # per-bounce GI query rows so skipped bounces read as no-ops
+        if gi_from is not None:
+            for bb in range(nbounce - gi_from):
+                for r in range(GI_ROWS):
+                    out_ref[0, gi_base + bb * GI_ROWS + r] = zero
+
+        def cond(carry):
+            b, state, acc = carry
+            return (b < nbounce) & (jnp.max(state[12]) > 0.0)
+
+        def bounce(carry):
+            b, state, acc = carry
             rad3, hitf, tz, surf, qw, state = _bounce_core(
                 state, seed0 + b * 101, st, consts, cfg_c,
                 mesh_refs=mesh_refs)
@@ -1033,9 +1044,12 @@ def _wave_kernel(seed_ref, rays_ref, *refs, consts, cfg_c, nbounce,
             acc = (acc[0] + rad3[0], acc[1] + rad3[1], acc[2] + rad3[2],
                    jnp.where(first, hitf, acc[3]),
                    jnp.where(first, tz, acc[4]))
-            return (state, acc)
+            return (b + 1, state, acc)
 
-        _, acc = jax.lax.fori_loop(0, nbounce, bounce, (state, acc))
+        # RR kills most lanes within a couple of bounces in diffuse
+        # scenes; the while form skips the dead tail entirely
+        _, _, acc = jax.lax.while_loop(
+            cond, bounce, (jnp.int32(0), state, acc))
         out_ref[0, 0] = acc[0]
         out_ref[0, 1] = acc[1]
         out_ref[0, 2] = acc[2]
