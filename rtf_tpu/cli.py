@@ -167,6 +167,8 @@ def cmd_watch(args):
     from rtf_tpu.utils.image import sample_count_image, zbuffer_image
     from rtf_tpu.utils.png import write_png
 
+    import numpy as _np
+
     cfg = PROFILES[args.profile]
     target = args.spp or cfg.max_samples
     scene = _load(args.scene, args.width, args.height)
@@ -177,8 +179,24 @@ def cmd_watch(args):
     z = jnp.full((num_px,), BIGFLOAT, jnp.float32)
     ns = jnp.zeros((num_px,), jnp.int32)
 
+    done, pass_ix = 0, 0
+    state_path = args.state or (args.out + ".state.npz")
+    if args.resume:
+        try:
+            st = _np.load(state_path)
+            if int(st["num_px"]) == num_px:
+                rad = jnp.asarray(st["rad"])
+                hits = jnp.asarray(st["hits"])
+                z = jnp.asarray(st["z"])
+                ns = jnp.asarray(st["ns"])
+                done = int(st["done"])
+                pass_ix = int(st["pass_ix"])
+                print(f"resumed at {done} spp from {state_path}")
+        except (OSError, KeyError):
+            print(f"no usable state at {state_path}; starting fresh")
+
     t0 = time.time()
-    done, pass_spp, pass_ix = 0, 1, 0
+    pass_spp = 1
     try:
         while done < target:
             pass_spp = min(pass_spp, target - done)
@@ -197,6 +215,11 @@ def cmd_watch(args):
             if args.samplecount:
                 write_png(args.samplecount,
                           sample_count_image(res.sample_count))
+            if args.resume or args.state:
+                _np.savez(state_path, rad=_np.asarray(rad),
+                          hits=_np.asarray(hits), z=_np.asarray(z),
+                          ns=_np.asarray(ns), done=done,
+                          pass_ix=pass_ix + 1, num_px=num_px)
             dt = int(time.time() - t0)
             print(f"[{done}/{target} spp] {args.out} updated   "
                   "Render time is %d:%02d:%02d"
@@ -271,6 +294,11 @@ def main(argv=None):
     w.add_argument("--width", type=int)
     w.add_argument("--height", type=int)
     w.add_argument("--seed", type=int, default=0)
+    w.add_argument("--resume", action="store_true",
+                   help="checkpoint accumulators per pass and resume "
+                        "from them (render-resume; the reference only "
+                        "checkpoints the photon pass)")
+    w.add_argument("--state", help="explicit state .npz path")
     w.set_defaults(fn=cmd_watch)
 
     pb = sub.add_parser("probe", help="print color/z/samples at a pixel")
