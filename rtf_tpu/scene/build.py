@@ -280,12 +280,25 @@ class _Builder:
         # (the reference only builds a MultiMtl when the node has no
         # explicit material, xmlload.cpp:205,211-241)
         if mesh.materials and node.mtl_name is None:
+            key = (id(mesh), -1)
+        else:
+            key = (id(mesh), inst_mtl_id)
+        # instancing: identical geometry+material shares ONE arena slot
+        # (the reference reuses loaded objects via objList.Find,
+        # xmlload.cpp:203-210)
+        cache = getattr(self, "_mesh_slot_cache", None)
+        if cache is None:
+            cache = self._mesh_slot_cache = {}
+        if key in cache:
+            return cache[key]
+        if mesh.materials and node.mtl_name is None:
             sub_ids = np.array([self.add_material(m) for m in mesh.materials], I32)
             fmtl = sub_ids[np.clip(mesh.face_mtl, 0, len(sub_ids) - 1)]
         else:
             fmtl = np.full(mesh.num_faces, inst_mtl_id, I32)
         self.meshes.append({"mesh": mesh, "face_mtl": fmtl})
-        return len(self.meshes) - 1
+        cache[key] = len(self.meshes) - 1
+        return cache[key]
 
     # ---- packing
 

@@ -144,16 +144,29 @@ class _Loader:
         elif typ == "plane":
             node.obj_kind = "plane"
         elif typ == "obj":
-            # a missing OBJ is a warning, not an error (xmlload.cpp:206-207)
+            # a missing OBJ is a warning, not an error (xmlload.cpp:206-207);
+            # repeated names reuse the loaded object (objList.Find,
+            # xmlload.cpp:203-210)
             path = self._resolve(node.name)
-            try:
-                mesh = load_obj(path, load_mtl_file=(mtl_name is None))
-                node.obj_kind = "mesh"
-                node.mesh = mesh
-            except OSError:
-                print(f'ERROR: Cannot load file "{node.name}" — node kept '
-                      f"without geometry")
-                mesh = None
+            cache = getattr(self, "_obj_cache", None)
+            if cache is None:
+                cache = self._obj_cache = {}
+            ckey = (path, mtl_name is None)
+            if ckey in cache:
+                mesh = cache[ckey]
+                if mesh is not None:
+                    node.obj_kind = "mesh"
+                    node.mesh = mesh
+            else:
+                try:
+                    mesh = load_obj(path, load_mtl_file=(mtl_name is None))
+                    node.obj_kind = "mesh"
+                    node.mesh = mesh
+                except OSError:
+                    print(f'ERROR: Cannot load file "{node.name}" — node '
+                          f"kept without geometry")
+                    mesh = None
+                cache[ckey] = mesh
             # OBJ with its own MTL materials -> synthesized multi-material
             # (xmlload.cpp:211-241); builder resolves texture files.
             if mesh is not None and mesh.materials and node.name not in self.scene.materials:

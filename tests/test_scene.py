@@ -97,3 +97,27 @@ def test_procedural_scene_builds():
     assert scene.num_spheres == 2
     assert scene.num_mesh_inst == 1
     assert scene.mesh.tri_a.shape[0] == 320  # icosphere subdiv 2
+
+
+def test_mesh_instancing_shares_slot(tmp_path):
+    """Two <object type=obj> nodes naming the same file share one mesh
+    arena slot (objList.Find reuse, xmlload.cpp:203-210)."""
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    xml = tmp_path / "s.xml"
+    xml.write_text(f"""<xml><scene>
+      <object type="obj" name="{obj.name}" material="m">
+        <translate x="-1"/>
+      </object>
+      <object type="obj" name="{obj.name}" material="m">
+        <translate x="1"/>
+      </object>
+      <material type="blinn" name="m"><diffuse value="0.5"/></material>
+      <light type="ambient" name="a"><intensity value="1"/></light>
+    </scene><camera><position z="5"/><target x="0"/><width value="8"/>
+    <height value="6"/></camera></xml>""")
+    from rtf_tpu.scene import build_scene, load_scene
+    scene = build_scene(load_scene(str(xml)))
+    assert scene.num_mesh_inst == 2
+    assert scene.mesh_inst_slots == (0, 0)          # shared slot
+    assert scene.mesh.tri_a.shape[0] == 1           # ONE face stored
