@@ -121,3 +121,32 @@ def test_mesh_instancing_shares_slot(tmp_path):
     assert scene.num_mesh_inst == 2
     assert scene.mesh_inst_slots == (0, 0)          # shared slot
     assert scene.mesh.tri_a.shape[0] == 1           # ONE face stored
+
+
+def test_loader_sweeps_all_reference_scenes():
+    """Every scene XML in the reference loads and builds (missing OBJ
+    files warn and continue, matching xmlload.cpp:206-207)."""
+    import glob
+    import os
+    import pytest
+    from tests.conftest import REFERENCE, reference_available
+    if not reference_available():
+        pytest.skip("no reference")
+    from rtf_tpu.scene import build_scene, load_scene
+    xmls = sorted(glob.glob(f"{REFERENCE}/**/*.xml", recursive=True))
+    scenes = [x for x in xmls
+              if "<scene" in open(x, errors="ignore").read(4000)]
+    assert len(scenes) >= 15
+    cwd = os.getcwd()
+    loaded = 0
+    try:
+        for x in scenes:
+            os.chdir(os.path.dirname(x))
+            desc = load_scene(x)
+            desc.camera.width, desc.camera.height = 16, 12
+            s = build_scene(desc)
+            assert s.width == 16
+            loaded += 1
+    finally:
+        os.chdir(cwd)
+    assert loaded == len(scenes)
