@@ -420,6 +420,8 @@ def fusable(scene, cfg) -> bool:
     gather stays on the XLA path)."""
     if cfg.gi_mode == "photon" and not cfg.photon_volume:
         return False
+    if cfg.gi_mode not in ("none", "hemisphere", "pathtrace", "photon"):
+        return False
     if cfg.resolved_split_mode() != "rr":
         return False
     return _scene_fuse_info(scene)

@@ -59,6 +59,8 @@ def fusable_seg(scene, cfg) -> bool:
     irradiance-volume option like the monolithic path."""
     if cfg.gi_mode == "photon" and not cfg.photon_volume:
         return False
+    if cfg.gi_mode not in ("none", "hemisphere", "pathtrace", "photon"):
+        return False
     if cfg.resolved_split_mode() != "rr":
         return False
     import weakref

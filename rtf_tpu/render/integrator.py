@@ -115,7 +115,16 @@ def shade_lanes(scene, cfg, o, d, tput, absorb, pixel, alive, rtype,
 
     mtl = sample_material(scene, surf.mtl, surf.uvw)
     view = -d  # d is normalized
-    col = mtl.emission + direct_lighting(scene, cfg, surf, mtl, view, key)
+    if cfg.gi_mode == "pm_direct":
+        # photon map as ALL diffuse lighting (direct + indirect): no
+        # analytic light loop; the committed reference can't reproduce
+        # its own prj13box golden with its (commented-out) GI, but this
+        # mode reproduces its look — photon density saturates inside the
+        # estimate radius, so there is no ceiling hotspot
+        col = mtl.emission
+    else:
+        col = mtl.emission + direct_lighting(scene, cfg, surf, mtl, view,
+                                             key)
     if gi_grid is not None:
         from rtf_tpu.gi.grid import estimate_irradiance
         from rtf_tpu.gi.volume import IrradianceVolume, sample_volume

@@ -421,7 +421,7 @@ def render(scene, cfg: RenderConfig = RenderConfig(), seed: int = None,
     rtf_tpu.gi — the analogue of generatePhotonMap before BeginRender's
     thread launch, main.cpp:990)."""
     key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
-    if cfg.gi_mode == "photon" and gi_grid is None:
+    if cfg.gi_mode in ("photon", "pm_direct") and gi_grid is None:
         gi_grid = prepare_photon_grid(scene, cfg, key)
     rad, hits, z, ns = render_device_host(scene, cfg, key, gi_grid=gi_grid,
                                           caustic_grid=caustic_grid)

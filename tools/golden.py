@@ -39,6 +39,16 @@ CASES = {
     "prj13box": (f"{REF}/RayTracingProj13/RayTracingProj13/scene.xml",
                  f"{REF}/RayTracingProj13/prj13box.png",
                  "proj11", {"min_samples": 16, "max_samples": 16}),
+    # Proj13 box rendered with the photon map as ALL diffuse lighting
+    # (the look of the committed golden; its in-code GI is commented
+    # out — see GOLDENS.md)
+    "prj13box_pm": (f"{REF}/RayTracingProj13/RayTracingProj13/scene.xml",
+                    f"{REF}/RayTracingProj13/prj13box.png",
+                    "proj11",
+                    {"min_samples": 8, "max_samples": 8,
+                     "gi_mode": "pm_direct", "hemisphere_samples": 0,
+                     "photon_count": 1_000_000, "knn_k": 400,
+                     "knn_radius": 1.0}),
 }
 
 
