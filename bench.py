@@ -55,9 +55,13 @@ def main():
     rays = 2.0 * WIDTH * HEIGHT * SPP
     mrays = rays / dt / 1e6
 
-    # secondary figure: hemisphere-GI frame (fused host-chunked path)
+    # secondary figure: hemisphere-GI frame (fused host-chunked path).
+    # Opt-in (BENCH_GI=1): its compile time must never starve the
+    # headline JSON line.
     gi_dt = None
     try:
+        if os.environ.get("BENCH_GI", "0") != "1":
+            raise RuntimeError("BENCH_GI off")
         gi_scene = build_scene(box_scene(width=400, height=300,
                                          with_mesh=True))
         gi_cfg = RenderConfig(min_samples=8, max_samples=8, bounces=2,
