@@ -436,6 +436,31 @@ def _norm3(x, y, z):
     return x * inv, y * inv, z * inv
 
 
+def _atan_poly(r):
+    """atan on [0, 1] by minimax polynomial (~1e-6 max error) — Mosaic
+    has no atan2/asin lowering, so sphere uv builds its own."""
+    r2 = r * r
+    return r * (0.99997726 + r2 * (-0.33262347 + r2 * (
+        0.19354346 + r2 * (-0.11643287 + r2 * (
+            0.05265332 + r2 * -0.01172120)))))
+
+
+def _atan2(y, x):
+    """Quadrant-correct atan2 from the [0,1] core polynomial."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    a = _atan_poly(mn / jnp.maximum(mx, 1e-30))
+    a = jnp.where(ay > ax, 0.5 * np.pi - a, a)
+    a = jnp.where(x < 0.0, np.pi - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def _asin(x):
+    return _atan2(x, jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)))
+
+
 def _mat3_apply_const(m, x, y, z):
     return (m[0][0] * x + m[0][1] * y + m[0][2] * z,
             m[1][0] * x + m[1][1] * y + m[1][2] * z,
@@ -818,8 +843,8 @@ def _primitive_phase(o3, d3, t, n3, mtl, front, consts, need_uv=False):
         mtl = jnp.where(vs, float(sp["mtl"]), mtl)
         front = jnp.where(vs, jnp.where(frontal, 1.0, 0.0), front)
         if need_uv:
-            su = 0.5 - jnp.arctan2(hx, hy) * (0.5 / np.pi)
-            sv = 0.5 + jnp.arcsin(jnp.clip(hz, -1.0, 1.0)) * (1.0 / np.pi)
+            su = 0.5 - _atan2(hx, hy) * (0.5 / np.pi)
+            sv = 0.5 + _asin(jnp.clip(hz, -1.0, 1.0)) * (1.0 / np.pi)
             uu = jnp.where(vs, su, uu)
             vv = jnp.where(vs, sv, vv)
 
