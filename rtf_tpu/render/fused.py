@@ -1482,6 +1482,8 @@ def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None,
         in_specs=in_specs,
         out_specs=_blk4(n_rows),
         scratch_shapes=[pltpu.VMEM((8, SUB, TRI_LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 

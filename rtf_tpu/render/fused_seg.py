@@ -300,6 +300,9 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
     seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)
     scratch = [pltpu.VMEM((8, SUB, TRI_LANES), jnp.float32)]
+    # large-mesh tables + per-block rows can exceed the default 16M
+    # scoped-vmem budget by a hair; raise the cap
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
     def row(a, r):
         return a[:, r].reshape(n)
@@ -318,6 +321,7 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
             in_specs=[_blk4(16)] + mesh_specs,
             out_specs=_blk4(HIT_ROWS),
             scratch_shapes=scratch,
+            compiler_params=cparams,
             interpret=interpret,
         )(rays, *mesh_args)
 
@@ -343,6 +347,7 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
                       _blk4(TEX_ROWS)] + mesh_specs,
             out_specs=_blk4(n_out),
             scratch_shapes=scratch,
+            compiler_params=cparams,
             interpret=interpret,
         )(seeds, rays, hit, tex, *mesh_args)
 

@@ -283,7 +283,8 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
 
     fused_consts = None
     gi_vol = None
-    if cfg.gi_mode == "photon" and cfg.photon_volume and gi_grid is not None:
+    if cfg.gi_mode in ("photon", "pm_direct") and cfg.photon_volume \
+            and gi_grid is not None:
         from rtf_tpu.gi.volume import IrradianceVolume, \
             build_irradiance_volume
         if not isinstance(gi_grid, IrradianceVolume):
@@ -310,8 +311,11 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
         gi_grid = gi_vol  # XLA path: volume lookups replace the gather
 
     # the whole loop runs in LANE space (tile order); converted once at
-    # the end.  Waves go out in batches of STEP per dispatch.
-    STEP = 8
+    # the end.  Waves go out in batches of STEP per dispatch — but GI
+    # configs on the XLA path get ONE wave per dispatch: an 8-wave GI
+    # dispatch at 800x600 exceeds the backend's per-dispatch runtime
+    # tolerance (observed worker crashes)
+    STEP = 8 if (cfg.gi_mode == "none" or fused_consts is not None) else 1
 
     gi_host = (fused_consts is not None and cfg.gi_mode != "none"
                and cfg.hemisphere_samples > 0)

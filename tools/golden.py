@@ -30,15 +30,17 @@ CASES = {
     # escalation differs) — loose
     "prj8": (f"{REF}/RayTracingProj8/RayTracingProj8/scene.xml",
              f"{REF}/RayTracingProj8/RayTracingProj8/prj8_16sample.png",
-             "proj8", {}),
+             "proj8", {"split_mode": "rr"}),
     # Proj9: depth of field (64 random lens samples — different RNG)
     "prj9": (f"{REF}/RayTracingProj9/RayTracingProj9/scene9.xml",
              f"{REF}/RayTracingProj9/RayTracingProj9/prj9.png",
-             "proj8", {"min_samples": 16, "max_samples": 16}),
+             "proj8", {"min_samples": 16, "max_samples": 16,
+                       "split_mode": "rr"}),
     # Proj13 box: Monte-Carlo GI — loose (different RNG)
     "prj13box": (f"{REF}/RayTracingProj13/RayTracingProj13/scene.xml",
                  f"{REF}/RayTracingProj13/prj13box.png",
-                 "proj11", {"min_samples": 16, "max_samples": 16}),
+                 "proj11", {"min_samples": 16, "max_samples": 16,
+                            "split_mode": "rr"}),
     # Proj13 box rendered with the photon map as ALL diffuse lighting
     # (the look of the committed golden; its in-code GI is commented
     # out — see GOLDENS.md)
