@@ -41,8 +41,16 @@ def main():
     # device->host transfer is the only honest fence.  The finiteness
     # check runs ON DEVICE so the fence transfer stays tiny (the tunnel
     # moves ~35 MB/s; pulling the full framebuffer is not rendering).
-    out = render_device_host(scene, cfg, key)
-    np.asarray(jnp.isfinite(out[0]).all())
+    # One retry: the tunneled worker occasionally restarts mid-session.
+    for attempt in range(2):
+        try:
+            out = render_device_host(scene, cfg, key)
+            np.asarray(jnp.isfinite(out[0]).all())
+            break
+        except Exception:
+            if attempt == 1:
+                raise
+            time.sleep(60)
 
     t0 = time.perf_counter()
     out = render_device_host(scene, cfg, jax.random.PRNGKey(1))
