@@ -259,13 +259,18 @@ def render_wave(scene, cfg, o, d, pixel, sample_mask, key,
     n = o.shape[0]
 
     k_prim, k_loop = jax.random.split(key)
+    # photon mode keeps the photon estimate OFF the first hit (the
+    # hemisphere fan-out covers it, main.cpp:642-693); pm_direct is the
+    # photon map AS the lighting, so the first hit queries it too
     res = shade_lanes(scene, cfg, o, d,
                       tput=jnp.ones((n, 3), jnp.float32),
                       absorb=jnp.zeros((n, 3), jnp.float32),
                       pixel=pixel,
                       alive=sample_mask,
                       rtype=jnp.full(n, RT_PRIMARY, jnp.int32),
-                      key=k_prim, caustic_grid=caustic_grid)
+                      key=k_prim, caustic_grid=caustic_grid,
+                      gi_grid=gi_grid if cfg.gi_mode == "pm_direct"
+                      else None)
 
     use_rr = cfg.resolved_split_mode() == "rr" and inv_pixel is not None
 
