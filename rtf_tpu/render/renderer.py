@@ -311,11 +311,12 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
         gi_grid = gi_vol  # XLA path: volume lookups replace the gather
 
     # the whole loop runs in LANE space (tile order); converted once at
-    # the end.  Waves go out in batches of STEP per dispatch — but GI
-    # configs on the XLA path get ONE wave per dispatch: an 8-wave GI
+    # the end.  Waves go out in batches of STEP per dispatch (32 waves:
+    # measured 127 vs 118 Mrays/s over STEP=8 on the 64-spp bench) — but
+    # GI configs on the XLA path get ONE wave per dispatch: an 8-wave GI
     # dispatch at 800x600 exceeds the backend's per-dispatch runtime
     # tolerance (observed worker crashes)
-    STEP = 8 if (cfg.gi_mode == "none" or fused_consts is not None) else 1
+    STEP = 32 if (cfg.gi_mode == "none" or fused_consts is not None) else 1
 
     gi_host = (fused_consts is not None and cfg.gi_mode != "none"
                and cfg.hemisphere_samples > 0)
