@@ -1612,10 +1612,13 @@ def fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key, i0,
             > 0.0)
         o3c = _offset_origin(p3[0], p3[1], p3[2], n3[0], n3[1], n3[2],
                              dirs[0], dirs[1], dirs[2])
+        # the reference shades hemisphere samples with bounceCount-1
+        # (main.cpp:678): one less Fresnel level than the camera ray
         out_c = wave(
             cfg, consts, o3c, dirs, alive_c,
             seed + (i + 1) * 104729, tput3=tput3,
             rtype=RT_REFRACT,
+            bounces=max(cfg.bounces - 1, 0),
             gi_from=0 if use_photon else None,
             mesh_tables=mesh_tables)
         if use_photon:

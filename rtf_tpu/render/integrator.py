@@ -228,16 +228,18 @@ def _rr_select(children: RayQueue, key) -> RayQueue:
         alive=alive)
 
 
-def _run_bounces_rr(scene, cfg, q: RayQueue, key, gi_grid=None):
+def _run_bounces_rr(scene, cfg, q: RayQueue, key, gi_grid=None,
+                    bounces=None):
     """Lane-aligned bounce loop: returns summed radiance PER LANE."""
     n = q.capacity
+    nb = cfg.bounces if bounces is None else bounces
     lane_rad = jnp.zeros((n, 3), jnp.float32)
-    for b in range(cfg.bounces):
+    for b in range(nb):
         kb = jax.random.fold_in(key, b)
         res = shade_lanes(scene, cfg, q.o, q.d, q.tput, q.absorb, q.pixel,
                           q.alive, q.rtype, kb, gi_grid=gi_grid)
         lane_rad = lane_rad + res.radiance
-        if b + 1 < cfg.bounces:
+        if b + 1 < nb:
             q = _rr_select(res.children, jax.random.fold_in(kb, 31))
     return lane_rad
 
@@ -293,9 +295,10 @@ def render_wave(scene, cfg, o, d, pixel, sample_mask, key,
                 acc = acc + res_c.radiance
                 q_c = _rr_select(res_c.children,
                                  jax.random.fold_in(kc, 31))
+                # hemisphere samples carry bounceCount-1 (main.cpp:678)
                 acc = acc + _run_bounces_rr(
                     scene, cfg, q_c, jax.random.fold_in(kc, 32),
-                    gi_grid=gi_grid)
+                    gi_grid=gi_grid, bounces=max(cfg.bounces - 1, 0))
                 return acc, None
 
             lane_rad, _ = jax.lax.scan(
@@ -334,7 +337,8 @@ def render_wave(scene, cfg, o, d, pixel, sample_mask, key,
                                       jax.random.fold_in(k_gi, i))
             img, _ = _run_bounces(scene, cfg, chunk, img,
                                   jax.random.fold_in(k_loop, 1000 + i),
-                                  capacity, gi_grid=gi_grid)
+                                  capacity, gi_grid=gi_grid,
+                                  bounces=max(cfg.bounces - 1, 0))
             return img, None
 
         image, _ = jax.lax.scan(gi_chunk, image,
@@ -347,8 +351,9 @@ def render_wave(scene, cfg, o, d, pixel, sample_mask, key,
 
 
 def _run_bounces(scene, cfg, q: RayQueue, image, key, capacity,
-                 gi_grid=None):
-    for b in range(cfg.bounces):
+                 gi_grid=None, bounces=None):
+    nb = cfg.bounces if bounces is None else bounces
+    for b in range(nb):
         kb = jax.random.fold_in(key, b)
         res = shade_lanes(scene, cfg, q.o, q.d, q.tput, q.absorb, q.pixel,
                           q.alive, q.rtype, kb, gi_grid=gi_grid)
