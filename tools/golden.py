@@ -22,6 +22,11 @@ CASES = {
     "prj5": (f"{REF}/RayTracingProj5/RayTracingProj5/scene.xml",
              f"{REF}/RayTracingProj5/RayTracingProj5/prj5input.png",
              "proj5", {}),
+    # Proj5 z-buffer: FULLY deterministic (geometry + transforms only,
+    # no RNG/shading) — the tightest parity check available
+    "prj5z": (f"{REF}/RayTracingProj5/RayTracingProj5/scene.xml",
+              f"{REF}/RayTracingProj5/RayTracingProj5/prj5_zbuff.png",
+              "proj5", {"__aov__": "zbuffer"}),
     # Proj7: + textures (file + checker), still deterministic
     "prj7": (f"{REF}/RayTracingProj7/RayTracingProj7/scene.xml",
              f"{REF}/RayTracingProj7/RayTracingProj7/prj7.png",
@@ -62,6 +67,8 @@ def run(name):
     from rtf_tpu.utils.png import read_png, write_png
 
     xml, golden_png, profile, over = CASES[name]
+    over = dict(over)
+    aov = over.pop("__aov__", "beauty")
     golden = read_png(golden_png)
     h, w = golden.shape[:2]
     desc = load_scene(xml)
@@ -72,8 +79,14 @@ def run(name):
         cfg = dataclasses.replace(cfg, **over)
     res = render(scene, cfg)
     out = f"/tmp/golden_{name}.png"
-    write_png(out, res.image)
-    err = rmse(res.image, golden[:, :, :3])
+    if aov == "zbuffer":
+        from rtf_tpu.utils.image import zbuffer_image
+        img = zbuffer_image(res.z)
+        img = img[..., None].repeat(3, axis=-1)
+    else:
+        img = res.image
+    write_png(out, img)
+    err = rmse(img, golden[:, :, :3])
     print(f"{name}: RMSE {err:.5f} vs {golden_png}  (ours: {out})")
     return err
 
