@@ -151,7 +151,22 @@ def shoot_photons(scene, cfg, n_emit: int, capacity: int, key,
     Returns a PhotonMapData with powers scaled by 4*pi / count.
     caustic_only: store only photons whose path crossed >= 2 specular
     segments before landing on a diffuse surface (Proj13 CausticTracing).
+
+    Jit-compiled as ONE program: the eager version paid the tunneled
+    backend's per-op latency hundreds of times per bounce (170 s for a
+    100k-photon pass that computes in a few seconds).
     """
+    return _shoot_photons_jit(scene, cfg, int(n_emit), int(capacity),
+                              key, bool(caustic_only))
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_emit", "capacity",
+                                             "caustic_only"))
+def _shoot_photons_jit(scene, cfg, n_emit: int, capacity: int, key,
+                       caustic_only: bool = False):
     photon_lights = [i for i, k in enumerate(scene.light_kinds)
                      if k != "ambient"]
     assert photon_lights, "no photon-emitting lights in scene"
