@@ -67,6 +67,23 @@ def build_photon_grid(pm: PhotonMapData, cell_size: float,
     nc = nx * ny * nz
     origin = jnp.asarray(bounds_min)
 
+    pos, dirs, power, cell_start, cell_count = _grid_sort(
+        pm, origin, dims, float(cell_size), nc)
+    return PhotonGrid(pos=pos, dir=dirs, power=power,
+                      cell_start=cell_start,
+                      cell_count=cell_count,
+                      origin=origin, n_valid=pm.count,
+                      dims=dims, cell_size=float(cell_size))
+
+
+import functools
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dims", "cell_size", "nc"))
+def _grid_sort(pm, origin, dims, cell_size, nc):
+    """Device part of the grid build as one program (eager ops pay the
+    tunneled backend's per-op latency)."""
     cap = pm.pos.shape[0]
     valid = jnp.arange(cap) < pm.count
     cell = _cell_of(origin, cell_size, dims, pm.pos)
@@ -82,11 +99,7 @@ def build_photon_grid(pm: PhotonMapData, cell_size: float,
     idx = jnp.arange(nc)
     cell_start = jnp.searchsorted(cell_sorted, idx, side="left").astype(jnp.int32)
     cell_end = jnp.searchsorted(cell_sorted, idx, side="right").astype(jnp.int32)
-    return PhotonGrid(pos=pos, dir=dirs, power=power,
-                      cell_start=cell_start,
-                      cell_count=cell_end - cell_start,
-                      origin=origin, n_valid=pm.count,
-                      dims=dims, cell_size=float(cell_size))
+    return pos, dirs, power, cell_start, cell_end - cell_start
 
 
 def _gather_pass(grid: PhotonGrid, q_pos, q_normal, radius2,
