@@ -1566,20 +1566,29 @@ def _hemisphere_dirs_ch(n3, key):
 
 
 def fused_gi_primary(cfg, consts, o3, d3, alive, seed, gi_vol=None,
-                     mesh_tables=None, wave_fn=None):
+                     mesh_tables=None, wave_fn=None, caustic_vol=None):
     """Primary fused launch for GI: direct radiance (+ deep-bounce
-    irradiance-volume terms) and the first-hit surface rows needed to
-    fan out hemisphere samples later.  Returns (rad3, hit, z, surf).
+    irradiance-volume terms, + an optional CAUSTIC volume term at the
+    first hit) and the first-hit surface rows needed to fan out
+    hemisphere samples later.  Returns (rad3, hit, z, surf).
 
     wave_fn: the wave implementation — fused_wave (default) or the
     segmented fused_wave_seg (bound to its scene)."""
     wave = wave_fn or fused_wave
     use_photon = gi_vol is not None
-    rad3, hit0, z0, surf, queries = wave(
+    gi_from = 0 if caustic_vol is not None else (
+        1 if use_photon else None)
+    out = wave(
         cfg, consts, o3, d3, alive, seed,
-        surf_out=True, gi_from=1 if use_photon else None,
+        surf_out=True, gi_from=gi_from,
         mesh_tables=mesh_tables)
-    if use_photon:
+    rad3, hit0, z0, surf, queries = out
+    if caustic_vol is not None and queries:
+        # caustic estimate at camera-visible hits only (the b==0 query)
+        ct = _volume_terms(queries[:1], caustic_vol)
+        rad3 = tuple(rad3[c] + ct[c] for c in range(3))
+        queries = queries[1:]
+    if use_photon and queries:
         vt = _volume_terms(queries, gi_vol)
         rad3 = tuple(rad3[c] + vt[c] for c in range(3))
     return rad3, hit0, z0, surf
@@ -1636,7 +1645,7 @@ def fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key, i0,
 
 
 def fused_gi_wave(cfg, consts, o3, d3, alive, seed, key, gi_vol=None,
-                  mesh_tables=None, wave_fn=None):
+                  mesh_tables=None, wave_fn=None, caustic_vol=None):
     """One GI sample wave on the fused path: primary launch (all Fresnel
     bounces in-kernel) + cfg.hemisphere_samples re-launches from the
     first-hit surface + irradiance-volume terms for every deep bounce.
@@ -1647,7 +1656,8 @@ def fused_gi_wave(cfg, consts, o3, d3, alive, seed, key, gi_vol=None,
     modes (no photon map).  Returns (rad3, hit, z) like fused_wave."""
     rad3, hit0, z0, surf = fused_gi_primary(
         cfg, consts, o3, d3, alive, seed, gi_vol=gi_vol,
-        mesh_tables=mesh_tables, wave_fn=wave_fn)
+        mesh_tables=mesh_tables, wave_fn=wave_fn,
+        caustic_vol=caustic_vol)
     s = cfg.hemisphere_samples
     if s > 0:
         gi3 = fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key,

@@ -174,7 +174,8 @@ def _wave_step(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "fused_consts", "fused_mode"))
 def _gi_primary_step(scene, cfg, mask_lanes, key, j, fused_consts,
-                     gi_vol=None, mesh_tables=None, fused_mode="mono"):
+                     gi_vol=None, mesh_tables=None, fused_mode="mono",
+                     caustic_vol=None):
     """Fused-GI sample, primary dispatch: direct radiance + first-hit
     surface rows (the hemisphere fan-out follows in _gi_chunk_step
     dispatches — one 800x600 sample with the full 20-30-sample fan-out
@@ -194,7 +195,8 @@ def _gi_primary_step(scene, cfg, mask_lanes, key, j, fused_consts,
     wave_fn = _seg_wave_fn(scene) if fused_mode == "seg" else None
     rad3, hitl, zl, surf = fused_gi_primary(
         cfg, fused_consts.obj, o3, d3, mask_lanes, seed32,
-        gi_vol=gi_vol, mesh_tables=mesh_tables, wave_fn=wave_fn)
+        gi_vol=gi_vol, mesh_tables=mesh_tables, wave_fn=wave_fn,
+        caustic_vol=caustic_vol)
     return (jnp.stack(rad3, axis=0), hitl, zl, surf, seed32,
             jax.random.fold_in(kj, 11))
 
@@ -293,9 +295,20 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
                 scene.world_min, scene.world_max)
         else:
             gi_vol = gi_grid
+    caustic_vol = None
+    if caustic_grid is not None and cfg.photon_volume:
+        from rtf_tpu.gi.volume import IrradianceVolume, \
+            build_irradiance_volume
+        if isinstance(caustic_grid, IrradianceVolume):
+            caustic_vol = caustic_grid
+        else:
+            caustic_vol = build_irradiance_volume(
+                caustic_grid, cfg.caustic_radius, cfg.knn_k,
+                scene.world_min, scene.world_max)
     mesh_tables = None
     fused_mode = "mono"
-    if jax.default_backend() == "tpu" and caustic_grid is None:
+    if jax.default_backend() == "tpu" and (caustic_grid is None
+                                           or caustic_vol is not None):
         from rtf_tpu.render.fused import frozen_consts, fusable, mxu_tables
         from rtf_tpu.render.fused_seg import fusable_seg
         if fusable(scene, cfg):
@@ -318,21 +331,22 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
     # tolerance (observed worker crashes)
     STEP = 32 if (cfg.gi_mode == "none" or fused_consts is not None) else 1
 
-    gi_host = (fused_consts is not None and cfg.gi_mode != "none"
-               and cfg.hemisphere_samples > 0)
+    gi_host = (fused_consts is not None
+               and ((cfg.gi_mode != "none" and cfg.hemisphere_samples > 0)
+                    or caustic_vol is not None))
     if gi_host:
         # fused GI: per sample, one primary dispatch + the hemisphere
         # fan-out in bounded chunks (keeps every dispatch well under the
         # backend's runtime limit at full resolution)
-        s = cfg.hemisphere_samples
-        chunk = max(1, min(int(cfg.gi_dispatch_chunk), s))
+        s = cfg.hemisphere_samples if cfg.gi_mode != "none" else 0
+        chunk = max(1, min(int(cfg.gi_dispatch_chunk), max(s, 1)))
 
         def run(carry, mask, kphase, lo, hi):
             for j in range(lo, hi):
                 contrib, hitl, zl, surf, seed32, kgi = _gi_primary_step(
                     scene, cfg, mask, kphase, j, fused_consts,
                     gi_vol=gi_vol, mesh_tables=mesh_tables,
-                    fused_mode=fused_mode)
+                    fused_mode=fused_mode, caustic_vol=caustic_vol)
                 i0 = 0
                 while i0 < s:
                     nc = min(chunk, s - i0)

@@ -263,3 +263,32 @@ def test_fused_checker_texture_matches_xla():
     inv_np = np.asarray(inv)
     rad_f = np.stack([np.asarray(rad3[c])[inv_np] for c in range(3)], 1)
     np.testing.assert_allclose(rad_f, np.asarray(out.radiance), atol=5e-4)
+
+
+def test_fused_caustic_volume_term():
+    """Caustic irradiance volume adds light at camera-visible hits on
+    the fused path (volume analog of the opt-in XLA caustic gather)."""
+    from rtf_tpu.gi.grid import build_photon_grid
+    from rtf_tpu.gi.photon import shoot_photons
+    from rtf_tpu.gi.volume import build_irradiance_volume
+    from rtf_tpu.render.fused import fused_gi_primary
+    scene, cfg, order, o, d, o3, d3, key = _setup(w=32, h=24,
+                                                  with_mesh=False)
+    cfg = cfg.with_(bounces=1, caustic_radius=2.0, knn_k=64)
+    pm = shoot_photons(scene, cfg, n_emit=8192, capacity=8192,
+                       key=jax.random.PRNGKey(1), caustic_only=True)
+    grid = build_photon_grid(pm, cfg.caustic_radius,
+                             scene.world_min, scene.world_max)
+    cvol = build_irradiance_volume(grid, cfg.caustic_radius, cfg.knn_k,
+                                   scene.world_min, scene.world_max)
+    n = scene.width * scene.height
+    alive = jnp.ones((n,), bool)
+    consts = scene_consts(scene)
+    base, hit, z, _ = fused_gi_primary(cfg, consts, o3, d3, alive,
+                                       jnp.int32(2))
+    with_c, _, _, _ = fused_gi_primary(cfg, consts, o3, d3, alive,
+                                       jnp.int32(2), caustic_vol=cvol)
+    mb = float(sum(np.asarray(c).mean() for c in base))
+    mc = float(sum(np.asarray(c).mean() for c in with_c))
+    assert np.isfinite(mc)
+    assert mc > mb     # caustic photons add energy
