@@ -43,6 +43,28 @@ def _seg_wave_fn(scene):
     return wave_fn
 
 
+_VOL_CACHE = {}
+
+
+def _cached_volume(grid, radius, k, bounds_min, bounds_max):
+    """Per-grid irradiance-volume cache: building a volume costs tens of
+    seconds at full scene bounds and must happen once per photon pass,
+    not once per frame."""
+    import weakref
+    from rtf_tpu.gi.volume import build_irradiance_volume
+    key = (id(grid), float(radius), int(k))
+    ent = _VOL_CACHE.get(key)
+    if ent is not None and ent[0]() is grid:
+        return ent[1]
+    vol = build_irradiance_volume(grid, radius, k, bounds_min, bounds_max)
+    try:
+        ref = weakref.ref(grid)
+    except TypeError:
+        ref = (lambda g=grid: g)
+    _VOL_CACHE[key] = (ref, vol)
+    return vol
+
+
 class RenderResult(NamedTuple):
     image: np.ndarray         # [H,W,3] uint8 (gamma'd like the reference)
     radiance: np.ndarray      # [H,W,3] float32 linear
@@ -287,22 +309,19 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
     gi_vol = None
     if cfg.gi_mode in ("photon", "pm_direct") and cfg.photon_volume \
             and gi_grid is not None:
-        from rtf_tpu.gi.volume import IrradianceVolume, \
-            build_irradiance_volume
+        from rtf_tpu.gi.volume import IrradianceVolume
         if not isinstance(gi_grid, IrradianceVolume):
-            gi_vol = build_irradiance_volume(
-                gi_grid, cfg.knn_radius, cfg.knn_k,
-                scene.world_min, scene.world_max)
+            gi_vol = _cached_volume(gi_grid, cfg.knn_radius, cfg.knn_k,
+                                    scene.world_min, scene.world_max)
         else:
             gi_vol = gi_grid
     caustic_vol = None
     if caustic_grid is not None and cfg.photon_volume:
-        from rtf_tpu.gi.volume import IrradianceVolume, \
-            build_irradiance_volume
+        from rtf_tpu.gi.volume import IrradianceVolume
         if isinstance(caustic_grid, IrradianceVolume):
             caustic_vol = caustic_grid
         else:
-            caustic_vol = build_irradiance_volume(
+            caustic_vol = _cached_volume(
                 caustic_grid, cfg.caustic_radius, cfg.knn_k,
                 scene.world_min, scene.world_max)
     mesh_tables = None
