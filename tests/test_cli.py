@@ -44,3 +44,23 @@ def test_cli_photons_viz(tmp_path):
     rc = main(["viz", str(dat), "--out", str(png), "--width", "128",
                "--height", "96"])
     assert rc == 0 and png.exists()
+
+
+def test_cli_watch_resume(tmp_path):
+    """watch --resume checkpoints accumulators and continues."""
+    from rtf_tpu.cli import main
+    out = tmp_path / "r.png"
+    rc = main(["watch", SCENE, "--profile", "proj3", "--spp", "2",
+               "--width", "48", "--height", "36", "--out", str(out),
+               "--resume"])
+    assert rc == 0
+    state = tmp_path / "r.png.state.npz"
+    assert state.exists()
+    st = np.load(state)
+    assert int(st["done"]) == 2
+    rc = main(["watch", SCENE, "--profile", "proj3", "--spp", "4",
+               "--width", "48", "--height", "36", "--out", str(out),
+               "--resume"])
+    assert rc == 0
+    st = np.load(state)
+    assert int(st["done"]) == 4
