@@ -17,6 +17,18 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _retry(fn, tries=3, wait=90):
+    """The tunneled backend's compile service occasionally drops the
+    connection mid-compile; retry transient runtime errors."""
+    for attempt in range(tries):
+        try:
+            return fn()
+        except Exception:
+            if attempt == tries - 1:
+                raise
+            time.sleep(wait)
 SCENE_B = ("/root/reference/RayTracingFinal/RayTracingFinal/"
            "data/scene_b.xml")
 
@@ -39,12 +51,14 @@ def sceneb(args):
         split_mode="rr", min_samples=args.spp, max_samples=args.spp,
         hemisphere_samples=args.hemi, photon_count=args.photons)
     t0 = time.perf_counter()
-    grid = prepare_photon_grid(scene, cfg, jax.random.PRNGKey(7))
+    grid = _retry(lambda: prepare_photon_grid(scene, cfg,
+                                              jax.random.PRNGKey(7)))
     print(f"photon pass: {int(grid.n_valid)} in "
           f"{time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
-    out = render_device_host(scene, cfg, jax.random.PRNGKey(0),
-                             gi_grid=grid)
+    out = _retry(lambda: render_device_host(scene, cfg,
+                                            jax.random.PRNGKey(0),
+                                            gi_grid=grid))
     assert bool(np.asarray(jnp.isfinite(out[0]).all()))
     print(f"first frame (compile+volume+run): "
           f"{time.perf_counter()-t0:.1f}s", flush=True)
