@@ -72,8 +72,17 @@ def cmd_render(args):
             print(f"photon map dumped to {args.photon_dump}")
 
     t0 = time.time()
-    res = render(scene, cfg, seed=args.seed, gi_grid=grid,
-                 caustic_grid=caustic)
+    if args.gi_cache:
+        from rtf_tpu.gi.irradiance_cache import render_with_cache
+        res, cache = render_with_cache(scene, cfg,
+                                       jax.random.PRNGKey(args.seed))
+        import numpy as _np
+        frac = float(_np.asarray(cache.computed).mean())
+        print(f"irradiance cache: {frac:.0%} of pixels traced, "
+              f"rest interpolated")
+    else:
+        res = render(scene, cfg, seed=args.seed, gi_grid=grid,
+                     caustic_grid=caustic)
     dt = int(time.time() - t0)
     print("Render time is %d:%02d:%02d" % (dt // 3600, dt // 60 % 60, dt % 60))
 
@@ -265,6 +274,10 @@ def main(argv=None):
     r.add_argument("--zbuffer", help="write z-buffer AOV PNG")
     r.add_argument("--samplecount", help="write sample-count AOV PNG")
     r.add_argument("--photon-dump", help="write the photon map .dat")
+    r.add_argument("--gi-cache", action="store_true",
+                   help="progressive screen-space irradiance cache "
+                        "instead of per-pixel GI (cyIrradianceMap "
+                        "analog)")
     r.add_argument("--caustics", action="store_true",
                    help="add the caustic-map estimate (opt-in; the "
                         "reference ships this commented out)")
