@@ -1,0 +1,65 @@
+// Headless oracle harness around the reference renderer.
+//
+// This file is OURS (rtf_tpu test tooling). It #includes a *patched
+// copy* of the reference's main.cpp (prepared by tools/oracle/build.py
+// in a scratch dir: viewport.cpp include removed, `main` renamed,
+// #defines made overridable) and drives the reference's own
+// LoadScene/BeginRender pipeline without GLUT, so we can regenerate
+// converged / deterministic golden images and photon .dat dumps on
+// this machine (VERDICT.md round-1 item #2).
+//
+// Usage: oracle <scene.xml> <out.png> [<out_z.png> [<out_sc.png>]]
+// Run with cwd = the (copied) project dir so relative asset paths and
+// .dat dumps resolve there.
+
+// Pre-include every std header the reference main.cpp uses, BEFORE its
+// scene.h defines min/max macros that would break <algorithm>.
+#include <algorithm>
+#include <chrono>
+#include <cmath>
+#include <cstdio>
+#include <iostream>
+#include <thread>
+#include <vector>
+
+#include ORACLE_MAIN_CPP  // set by build.py: the patched main.cpp
+
+// viewport.cpp (removed by the patch) defined ShowViewport plus the GL
+// rasterization virtuals; the oracle never rasterizes, so stub them.
+void ShowViewport() {}
+void Sphere::ViewportDisplay(const Material *) const {}
+void Plane::ViewportDisplay(const Material *) const {}
+void TriObj::ViewportDisplay(const Material *) const {}
+void GenLight::SetViewportParam(int, ColorA, ColorA, Point4) const {}
+void MtlBlinn::SetViewportMaterial(int) const {}
+bool TextureFile::SetViewportTexture() const { return false; }
+bool TextureChecker::SetViewportTexture() const { return false; }
+
+int main(int argc, char **argv) {
+  if (argc < 3) {
+    std::fprintf(stderr, "usage: %s scene.xml out.png [z.png [sc.png]]\n",
+                 argv[0]);
+    return 2;
+  }
+  pIt.Init();
+  LoadScene(argv[1]);
+  auto t0 = std::chrono::steady_clock::now();
+  BeginRender();  // joins (Proj<=8 era) or detaches (Final era)
+  while (!renderImage.IsRenderDone()) {
+    std::this_thread::sleep_for(std::chrono::milliseconds(50));
+  }
+  auto dt = std::chrono::duration<double>(std::chrono::steady_clock::now() -
+                                          t0).count();
+  std::fprintf(stderr, "[oracle] render done in %.2fs (%dx%d)\n", dt,
+               renderImage.GetWidth(), renderImage.GetHeight());
+  renderImage.SaveImage(argv[2]);
+  if (argc > 3) {
+    renderImage.ComputeZBufferImage();
+    renderImage.SaveZImage(argv[3]);
+  }
+  if (argc > 4) {
+    renderImage.ComputeSampleCountImage();
+    renderImage.SaveSampleCountImage(argv[4]);
+  }
+  return 0;
+}
