@@ -210,8 +210,13 @@ def cmd_watch(args):
         while done < target:
             pass_spp = min(pass_spp, target - done)
             cfg_p = cfg.with_(min_samples=pass_spp, max_samples=pass_spp)
+            # sample_base=done: subpixel positions are pure
+            # halton(sample_idx), so each pass must continue the index
+            # stream ([done, done+pass_spp)) or it would re-accumulate
+            # the same offsets (index 0 every pass) and never converge
             r, hcount, zp, nsp = render_device_host(
-                scene, cfg_p, jax.random.PRNGKey(args.seed + pass_ix))
+                scene, cfg_p, jax.random.PRNGKey(args.seed + pass_ix),
+                sample_base=done)
             rad = rad + r
             hits = hits + hcount
             z = jnp.minimum(z, zp)

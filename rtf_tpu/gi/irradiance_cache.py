@@ -126,8 +126,11 @@ def _eval_irradiance(scene, cfg, p, n, mask, key):
                           jnp.full((b,), RT_REFRACT, jnp.int32), kc)
         acc = acc + res.radiance
         q = _rr_select(res.children, jax.random.fold_in(kc, 31))
+        # hemisphere samples carry bounceCount-1 (main.cpp:678), same
+        # as the integrator's fan-out and the fused evaluator
         acc = acc + _run_bounces_rr(scene, cfg, q,
-                                    jax.random.fold_in(kc, 32))
+                                    jax.random.fold_in(kc, 32),
+                                    bounces=max(cfg.bounces - 1, 0))
         return acc, None
 
     E, _ = jax.lax.scan(body, jnp.zeros((b, 3), jnp.float32),

@@ -1604,8 +1604,8 @@ def fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key, i0,
     dispatches (the 800x600 full fan-out in ONE dispatch exceeds the
     backend's per-dispatch runtime limits)."""
     wave = wave_fn or fused_wave
-    s = cfg.hemisphere_samples
-    use_photon = gi_vol is not None
+    s = max(cfg.hemisphere_samples, 1)  # guard 1/s when a gi-cache build
+    use_photon = gi_vol is not None     # runs with hemisphere_samples=0
     p3 = surf[0:3]
     n3 = surf[3:6]
     kd3 = surf[6:9]

@@ -288,7 +288,7 @@ def render_device(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
 
 
 def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
-                       caustic_grid=None) -> tuple:
+                       caustic_grid=None, sample_base: int = 0) -> tuple:
     """Host-driven wave loop: ONE small compiled program (`_wave_step`)
     reused for every sample index and both adaptive phases, with the
     accumulator carry donated in place on device.
@@ -315,8 +315,21 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
                                     scene.world_min, scene.world_max)
         else:
             gi_vol = gi_grid
+    # decide kernel-path eligibility BEFORE building irradiance volumes:
+    # the expensive caustic volume is only consumed by the fused path
+    # (the XLA path gathers from the exact caustic grid directly)
+    mesh_tables = None
+    fused_mode = "mono"
+    fused_eligible = None
+    if jax.default_backend() == "tpu":
+        from rtf_tpu.render.fused import fusable
+        from rtf_tpu.render.fused_seg import fusable_seg
+        if fusable(scene, cfg):
+            fused_eligible = "mono"
+        elif fusable_seg(scene, cfg):
+            fused_eligible = "seg"
     caustic_vol = None
-    if caustic_grid is not None and cfg.photon_volume:
+    if caustic_grid is not None and cfg.photon_volume and fused_eligible:
         from rtf_tpu.gi.volume import IrradianceVolume
         if isinstance(caustic_grid, IrradianceVolume):
             caustic_vol = caustic_grid
@@ -324,19 +337,11 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
             caustic_vol = _cached_volume(
                 caustic_grid, cfg.caustic_radius, cfg.knn_k,
                 scene.world_min, scene.world_max)
-    mesh_tables = None
-    fused_mode = "mono"
-    if jax.default_backend() == "tpu" and (caustic_grid is None
-                                           or caustic_vol is not None):
-        from rtf_tpu.render.fused import frozen_consts, fusable, mxu_tables
-        from rtf_tpu.render.fused_seg import fusable_seg
-        if fusable(scene, cfg):
-            fused_consts = frozen_consts(scene)
-            mesh_tables = mxu_tables(scene)
-        elif fusable_seg(scene, cfg):
-            fused_mode = "seg"
-            fused_consts = frozen_consts(scene)
-            mesh_tables = mxu_tables(scene)
+    if fused_eligible and (caustic_grid is None or caustic_vol is not None):
+        from rtf_tpu.render.fused import frozen_consts, mxu_tables
+        fused_mode = fused_eligible
+        fused_consts = frozen_consts(scene)
+        mesh_tables = mxu_tables(scene)
     if fused_consts is not None:
         gi_grid = None   # the fused path replaces the XLA gather
     elif gi_vol is not None:
@@ -393,14 +398,17 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
                 j += k
             return carry
 
-    carry = run(carry, all_px, k1, 0, cfg.min_samples)
+    # sample_base offsets the Halton subpixel index stream so a caller
+    # accumulating passes (cli watch) never re-renders index 0
+    carry = run(carry, all_px, k1, sample_base, sample_base + cfg.min_samples)
     rad, rad2, hits, z = carry
     nsamples = jnp.full((num_px,), cfg.min_samples, jnp.int32)
 
     if cfg.max_samples > cfg.min_samples:
         need = _need_mask(cfg, rad, rad2, hits)
         carry = (rad, rad2, hits, z)
-        carry = run(carry, need, k2, cfg.min_samples, cfg.max_samples)
+        carry = run(carry, need, k2, sample_base + cfg.min_samples,
+                    sample_base + cfg.max_samples)
         rad, rad2b, hits, z = carry
         nsamples = nsamples + jnp.where(need, cfg.max_samples - cfg.min_samples, 0)
 
