@@ -103,12 +103,15 @@ def _grid_sort(pm, origin, dims, cell_size, nc):
 
 
 def _gather_pass(grid: PhotonGrid, q_pos, q_normal, radius2,
-                 filter_type: int, max_per_cell: int):
+                 filter_type: int, max_per_cell: int,
+                 inclusive: bool = False):
     """One accumulation sweep over the 27 neighbor cells.
 
     radius2: [M] per-query squared search radius.
     q_normal may be None to skip the per-photon normal-disc test
     (normal-free queries, e.g. irradiance-volume corners).
+    inclusive: accept d2 == radius2 (the exact-kNN path must keep the
+    k-th photon itself, whose d2 IS the selection radius).
     Returns (irrad_sum [M,3], dir_sum [M,3], count [M])."""
     m = q_pos.shape[0]
     nx, ny, nz = grid.dims
@@ -141,7 +144,8 @@ def _gather_pass(grid: PhotonGrid, q_pos, q_normal, radius2,
                     pw = grid.power[pi]
                     diff = pp - q_pos
                     d2 = jnp.sum(diff * diff, axis=-1)
-                    ok = active & (d2 < radius2)
+                    ok = active & ((d2 <= radius2) if inclusive
+                                   else (d2 < radius2))
                     if q_normal is not None:
                         # normal test: photon must arrive from the front
                         # (dir . N < 0 accepted, cyPhotonMap.h:385-387)
@@ -165,29 +169,116 @@ def _gather_pass(grid: PhotonGrid, q_pos, q_normal, radius2,
     return irrad, dsum, count
 
 
+def _kth_r2(grid: PhotonGrid, q_pos, q_normal, r_cap2, k: int,
+            max_per_cell: int, chunk: int = 1024):
+    """EXACT k-th-nearest squared distance per query (the reference
+    heap's dist2[0] once full, cyPhotonMap.h:425-437): materialize the
+    27-cell candidate d2 set per query ([chunk, 27*max_per_cell]) and
+    select with top_k.  +inf where fewer than k photons pass the
+    cap-radius + normal-disc acceptance.  Chunked with lax.map to bound
+    the candidate matrix."""
+    m = q_pos.shape[0]
+    nx, ny, nz = grid.dims
+    p = max_per_cell
+    cap = grid.pos.shape[0]
+    kk = min(k, 27 * p)
+
+    pad = (-m) % chunk
+    qp_all = jnp.pad(q_pos, ((0, pad), (0, 0)))
+    r2_all = jnp.pad(r_cap2, (0, pad))
+    qn_all = (jnp.pad(q_normal, ((0, pad), (0, 0)))
+              if q_normal is not None else None)
+    n_chunks = (m + pad) // chunk
+
+    def one(args):
+        if q_normal is not None:
+            qp, qn, r2 = args
+        else:
+            qp, r2 = args
+            qn = None
+        base = jnp.floor((qp - grid.origin)
+                         / grid.cell_size).astype(jnp.int32)
+        cols = []
+        lane = jnp.arange(p)[None, :]
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ijk = base + jnp.asarray([dx, dy, dz])
+                    in_grid = ((ijk[:, 0] >= 0) & (ijk[:, 0] < nx)
+                               & (ijk[:, 1] >= 0) & (ijk[:, 1] < ny)
+                               & (ijk[:, 2] >= 0) & (ijk[:, 2] < nz))
+                    ijk = jnp.clip(ijk, 0,
+                                   jnp.asarray([nx - 1, ny - 1, nz - 1]))
+                    cid = (ijk[:, 2] * ny + ijk[:, 1]) * nx + ijk[:, 0]
+                    start = grid.cell_start[cid]
+                    cnt = jnp.where(in_grid, grid.cell_count[cid], 0)
+                    cnt = jnp.minimum(cnt, p)
+                    idx = jnp.minimum(start[:, None] + lane, cap - 1)
+                    pp = grid.pos[idx]                      # [Q,P,3]
+                    diff = pp - qp[:, None, :]
+                    d2 = jnp.sum(diff * diff, axis=-1)
+                    ok = (lane < cnt[:, None]) & (d2 < r2[:, None])
+                    if qn is not None:
+                        pd = grid.dir[idx]
+                        ok = ok & (jnp.sum(pd * qn[:, None, :], -1) < 0.0)
+                    cols.append(jnp.where(ok, d2, jnp.inf))
+        alld2 = jnp.concatenate(cols, axis=1)               # [Q, 27P]
+        return -jax.lax.top_k(-alld2, kk)[0][:, kk - 1]
+
+    if q_normal is not None:
+        args = (qp_all.reshape(n_chunks, chunk, 3),
+                qn_all.reshape(n_chunks, chunk, 3),
+                r2_all.reshape(n_chunks, chunk))
+    else:
+        args = (qp_all.reshape(n_chunks, chunk, 3),
+                r2_all.reshape(n_chunks, chunk))
+    r2k = jax.lax.map(one, args).reshape(-1)[:m]
+    return r2k
+
+
 def estimate_irradiance(grid: PhotonGrid, q_pos, q_normal,
                         radius: float, k: int,
                         filter_type: int = FILTER_CONSTANT,
-                        max_per_cell: int = 128):
+                        max_per_cell: int = 128,
+                        exact: bool = True,
+                        kth_chunk: int = 1024):
     """Batched EstimateIrradiance (cyPhotonMap.h:288-336).
 
-    Returns (irradiance [M,3], mean_dir [M,3]).  Two-pass kNN radius
-    approximation (see module docstring); with the constant filter the
-    area normalization is pi * r_eff^2.
+    Returns (irradiance [M,3], mean_dir [M,3]).
+
+    exact=True (default): where more than k photons lie within the cap
+    radius, the selection radius is the TRUE k-th-nearest distance
+    (reference bounded-heap semantics, dist2[0] after LocatePhotons) —
+    computed by `_kth_r2` — and the final gather keeps exactly the k
+    nearest (ties aside).  Area normalization is pi * dist2_k.
+
+    exact=False: legacy two-pass radius shrink r2 * (k/count) — exact
+    only under locally uniform photon density; cheaper (no candidate
+    materialization) and kept for throughput-critical callers.
     """
     m = q_pos.shape[0]
     r2 = jnp.full((m,), radius * radius, jnp.float32)
     irrad, dsum, count = _gather_pass(grid, q_pos, q_normal, r2,
                                       filter_type, max_per_cell)
-    # shrink where more than k photons were found (kd-tree heap semantics:
-    # dist2[0] ends at the k-th nearest distance)
     over = count > k
-    r2_eff = jnp.where(over, r2 * (k / jnp.maximum(count, 1)), r2)
-    if k > 0:
+    if k > 0 and exact:
+        r2k = _kth_r2(grid, q_pos, q_normal, r2, k, max_per_cell,
+                      chunk=min(kth_chunk, max(m, 1)))
+        r2_eff = jnp.where(over & jnp.isfinite(r2k), r2k, r2)
+        irrad2, dsum2, _ = _gather_pass(grid, q_pos, q_normal, r2_eff,
+                                        filter_type, max_per_cell,
+                                        inclusive=True)
+        irrad = jnp.where(over[:, None], irrad2, irrad)
+        dsum = jnp.where(over[:, None], dsum2, dsum)
+    elif k > 0:
+        # legacy shrink (uniform-density approximation)
+        r2_eff = jnp.where(over, r2 * (k / jnp.maximum(count, 1)), r2)
         irrad2, dsum2, _ = _gather_pass(grid, q_pos, q_normal, r2_eff,
                                         filter_type, max_per_cell)
         irrad = jnp.where(over[:, None], irrad2, irrad)
         dsum = jnp.where(over[:, None], dsum2, dsum)
+    else:
+        r2_eff = r2
 
     if filter_type == FILTER_LINEAR:
         area = (jnp.pi / 3.0) * r2_eff

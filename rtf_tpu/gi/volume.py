@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from rtf_tpu.gi.grid import PhotonGrid, _gather_pass
+from rtf_tpu.gi.grid import PhotonGrid
 
 
 @struct.dataclass
@@ -89,29 +89,12 @@ def build_irradiance_volume(grid: PhotonGrid, radius: float, k: int,
 def _estimate_no_normal(grid: PhotonGrid, q_pos, radius: float, k: int,
                         filter_type: int, max_per_cell: int):
     """estimate_irradiance without the per-photon normal test (corner
-    queries have no surface normal): two-pass kNN radius shrink + area
+    queries have no surface normal): exact bounded-k selection + area
     normalization, identical otherwise (gi/grid.estimate_irradiance)."""
-    m = q_pos.shape[0]
-    r2 = jnp.full((m,), radius * radius, jnp.float32)
-    irrad, dsum, count = _gather_pass(grid, q_pos, None, r2,
-                                      filter_type, max_per_cell)
-    over = count > k
-    r2_eff = jnp.where(over, r2 * (k / jnp.maximum(count, 1)), r2)
-    if k > 0:
-        irrad2, dsum2, _ = _gather_pass(grid, q_pos, None, r2_eff,
-                                        filter_type, max_per_cell)
-        irrad = jnp.where(over[:, None], irrad2, irrad)
-        dsum = jnp.where(over[:, None], dsum2, dsum)
-    if filter_type == 1:
-        area = (jnp.pi / 3.0) * r2_eff
-    elif filter_type == 2:
-        area = (jnp.pi * 0.5) * r2_eff
-    else:
-        area = jnp.pi * r2_eff
-    irrad = irrad / jnp.maximum(area, 1e-30)[:, None]
-    norm = jnp.sqrt(jnp.maximum(jnp.sum(dsum * dsum, -1, keepdims=True),
-                                1e-30))
-    return irrad, dsum / norm
+    from rtf_tpu.gi.grid import estimate_irradiance
+    return estimate_irradiance(grid, q_pos, None, radius, k,
+                               filter_type=filter_type,
+                               max_per_cell=max_per_cell, exact=True)
 
 
 def sample_volume_ch(vol: IrradianceVolume, p3):

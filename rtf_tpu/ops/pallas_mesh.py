@@ -326,10 +326,11 @@ def mesh_closest_hit(rays8: jnp.ndarray, tris: jnp.ndarray,
     grid = (n // RAY_BLOCK,)
     kern = functools.partial(_mesh_kernel, ntiles=ntiles, face0=face0,
                              mesh_lo=mesh_lo, mesh_hi=mesh_hi)
+    from rtf_tpu.ops.pallas_util import out_struct
     out = pl.pallas_call(
         kern,
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
+        out_shape=out_struct((n, 8), jnp.float32, rays8),
         in_specs=[
             pl.BlockSpec((RAY_BLOCK, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

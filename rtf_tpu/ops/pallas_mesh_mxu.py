@@ -161,12 +161,13 @@ def mesh_closest_hit_mxu(rays16: jnp.ndarray, trim: jnp.ndarray,
     tile = five_tile // 5
     grid = (n // RAY_BLOCK, ntiles)
     kern = functools.partial(_kernel, tile=tile, face0=face0)
+    from rtf_tpu.ops.pallas_util import out_struct
     out_shape = [
-        jax.ShapeDtypeStruct((n, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n, 1), jnp.int32),
-        jax.ShapeDtypeStruct((n, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        out_struct((n, 1), jnp.float32, rays16),
+        out_struct((n, 1), jnp.int32, rays16),
+        out_struct((n, 1), jnp.float32, rays16),
+        out_struct((n, 1), jnp.float32, rays16),
+        out_struct((n, 1), jnp.float32, rays16),
     ]
     ray_spec = pl.BlockSpec((RAY_BLOCK, 16), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)

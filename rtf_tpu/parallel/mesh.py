@@ -24,22 +24,29 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-import inspect
 
 try:
     from jax import shard_map as _shard_map
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map as _shard_map
+import inspect
 
-# the strict varying-manual-axes check rejects unvarying loop carries that
-# become varying (e.g. zero-initialized hit records fed by sharded rays);
-# our kernels are rank-polymorphic and correct under replication, so opt out
-if "check_vma" in inspect.signature(_shard_map).parameters:
-    def shard_map(f=None, **kw):
+_HAS_VMA = "check_vma" in inspect.signature(_shard_map).parameters
+
+
+def shard_map(f=None, *, strict: bool = True, **kw):
+    """shard_map with the varying-manual-axes check ON by default
+    (VERDICT.md round-1 #7).  Kernel outputs declare their vma via
+    ops/pallas_util.out_struct.  strict=False exists for exactly one
+    case: Pallas INTERPRET mode (CPU-mesh tests/dryruns), whose HLO
+    interpreter discharges block loads into dynamic_slice ops mixing
+    varying operands with unvarying loop indices — a jax-internal
+    limitation ("Primitive dynamic_slice requires varying manual axes
+    to match ... please open an issue"), not a property of our
+    kernels; the same kernels pass the check when compiled."""
+    if _HAS_VMA and not strict:
         return _shard_map(f, check_vma=False, **kw)
-else:
-    def shard_map(f=None, **kw):
-        return _shard_map(f, **kw)
+    return _shard_map(f, **kw)
 from jax.sharding import Mesh, PartitionSpec as P
 
 from rtf_tpu.core.math import BIGFLOAT
@@ -100,8 +107,11 @@ def render_sharded(scene, cfg, mesh: Mesh, seed: int = 0,
     else:
         pix_global = jnp.arange(num_px, dtype=jnp.int32)
 
+    # strict vma everywhere except Pallas interpret mode (see shard_map)
+    strict = not (fused and jax.default_backend() != "tpu")
+
     @functools.partial(
-        shard_map, mesh=mesh,
+        shard_map, mesh=mesh, strict=strict,
         in_specs=(P(), P("tile")),
         out_specs=(P("tile"), P("tile"), P("tile")),
     )

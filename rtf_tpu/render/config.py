@@ -18,6 +18,11 @@ class RenderConfig:
     variance_threshold: float = 1e-3  # THRESHOLD
     halton_base_x: int = 2          # HALTON_BASE_1
     halton_base_y: int = 3          # HALTON_BASE_2
+    # escalation ladder: 0 = one jump min->max (Final/Proj10+ era,
+    # `s_end = MAX_SAMPLE`); k>=2 = geometric rungs min, min*k, min*k^2
+    # ... max with the variance re-checked on ALL accumulated hit
+    # samples at each rung (Proj8/9 era `s_end *= 4`, main.cpp:283)
+    adaptive_factor: int = 0
 
     # ---- recursion
     bounces: int = 4                # BOUNCE
@@ -91,8 +96,9 @@ PROFILES = {
                           light_average=False, inverse_square=False,
                           shadow_min=1, shadow_max=1, gamma=0.0,
                           env_on_reflect_miss=True),
-    # Proj8: adaptive AA 4..64
+    # Proj8: adaptive AA 4..64 (4 -> 16 -> 64 ladder, `s_end *= 4`)
     "proj8": RenderConfig(min_samples=4, max_samples=64, bounces=5,
+                          adaptive_factor=4,
                           light_average=False, inverse_square=False,
                           shadow_min=1, shadow_max=1, gamma=0.0,
                           env_on_reflect_miss=True),

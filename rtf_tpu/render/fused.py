@@ -1474,11 +1474,12 @@ def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None,
         in_specs.append(pl.BlockSpec(aabb.shape, lambda i: (0, 0),
                                      memory_space=pltpu.SMEM))
         args += [trit, shade, aabb]
+    from rtf_tpu.ops.pallas_util import out_struct
     out = pl.pallas_call(
         kern,
         grid=(nblk,),
-        out_shape=jax.ShapeDtypeStruct((nblk, n_rows, SUB, TRI_LANES),
-                                       jnp.float32),
+        out_shape=out_struct((nblk, n_rows, SUB, TRI_LANES),
+                             jnp.float32, seeds, rays_sh),
         in_specs=in_specs,
         out_specs=_blk4(n_rows),
         scratch_shapes=[pltpu.VMEM((8, SUB, TRI_LANES), jnp.float32)],

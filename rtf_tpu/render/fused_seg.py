@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rtf_tpu.ops.pallas_mesh import TRI_LANES
+from rtf_tpu.ops.pallas_util import out_struct
 from rtf_tpu.render.fused import (
     BIG, BLOCK, MXU_MAX_FACES, SENTINEL, SUB,
     R_ALIVE, R_D, R_O, R_RTYPE, R_TPUT,
@@ -316,8 +317,8 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
     for b in range(nb + 1):
         hit = pl.pallas_call(
             hit_kern, grid=(nblk,),
-            out_shape=jax.ShapeDtypeStruct(
-                (nblk, HIT_ROWS, SUB, TRI_LANES), jnp.float32),
+            out_shape=out_struct(
+                (nblk, HIT_ROWS, SUB, TRI_LANES), jnp.float32, rays),
             in_specs=[_blk4(16)] + mesh_specs,
             out_specs=_blk4(HIT_ROWS),
             scratch_shapes=scratch,
@@ -341,8 +342,9 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
         seeds = jnp.full((1, 1), seed + b * 101, jnp.int32)
         out = pl.pallas_call(
             shade_kern, grid=(nblk,),
-            out_shape=jax.ShapeDtypeStruct(
-                (nblk, n_out, SUB, TRI_LANES), jnp.float32),
+            out_shape=out_struct(
+                (nblk, n_out, SUB, TRI_LANES), jnp.float32,
+                seeds, rays, hit, tex),
             in_specs=[seed_spec, _blk4(16), _blk4(HIT_ROWS),
                       _blk4(TEX_ROWS)] + mesh_specs,
             out_specs=_blk4(n_out),

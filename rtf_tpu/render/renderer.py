@@ -260,6 +260,20 @@ def _need_mask(cfg, rad, rad2, hits):
     return (jnp.max(var, axis=0) > cfg.variance_threshold) & (hits > 0)
 
 
+def _phase_bounds(cfg) -> list:
+    """Cumulative sample counts at each adaptive rung's end.
+    adaptive_factor=0: [min, max] (Final era, `s_end = MAX_SAMPLE`);
+    adaptive_factor=k>=2: min, min*k, ... max (Proj8 `s_end *= 4`)."""
+    bounds = [cfg.min_samples]
+    while bounds[-1] < cfg.max_samples:
+        if cfg.adaptive_factor >= 2:
+            bounds.append(min(bounds[-1] * cfg.adaptive_factor,
+                              cfg.max_samples))
+        else:
+            bounds.append(cfg.max_samples)
+    return bounds
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def render_device(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
     """Full adaptive render as ONE device program (lax.scan over sample
@@ -269,19 +283,24 @@ def render_device(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
     all_px = jnp.ones((num_px,), bool)
 
     k1, k2 = jax.random.split(key)
-    rad, rad2, hits, z = _wave_stats(scene, cfg, 0, cfg.min_samples, k1,
+    bounds = _phase_bounds(cfg)
+    rad, rad2, hits, z = _wave_stats(scene, cfg, 0, bounds[0], k1,
                                      all_px, gi_grid=gi_grid)
-    nsamples = jnp.full((num_px,), cfg.min_samples, jnp.int32)
+    nsamples = jnp.full((num_px,), bounds[0], jnp.int32)
 
-    if cfg.max_samples > cfg.min_samples:
-        need = _need_mask.__wrapped__(cfg, rad, rad2, hits)
-        rad_b, _, hits_b, z_b = _wave_stats(
-            scene, cfg, cfg.min_samples, cfg.max_samples, k2, need,
-            gi_grid=gi_grid)
+    need = all_px
+    for rung, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+        # variance over ALL accumulated hit samples (colorlist grows
+        # across rungs, main.cpp:273); a pixel that stops never resumes
+        need = need & _need_mask.__wrapped__(cfg, rad, rad2, hits)
+        kr = k2 if rung == 0 else jax.random.fold_in(k2, rung)
+        rad_b, rad2_b, hits_b, z_b = _wave_stats(
+            scene, cfg, lo, hi, kr, need, gi_grid=gi_grid)
         rad = rad + rad_b
+        rad2 = rad2 + rad2_b
         hits = hits + hits_b
         z = jnp.minimum(z, z_b)
-        nsamples = nsamples + jnp.where(need, cfg.max_samples - cfg.min_samples, 0)
+        nsamples = nsamples + jnp.where(need, hi - lo, 0)
 
     order = jnp.asarray(pixel_order(scene.width, scene.height))
     return lanes_to_pixels.__wrapped__(rad, hits, z, nsamples, order)
@@ -400,17 +419,21 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
 
     # sample_base offsets the Halton subpixel index stream so a caller
     # accumulating passes (cli watch) never re-renders index 0
-    carry = run(carry, all_px, k1, sample_base, sample_base + cfg.min_samples)
+    bounds = _phase_bounds(cfg)
+    carry = run(carry, all_px, k1, sample_base, sample_base + bounds[0])
     rad, rad2, hits, z = carry
-    nsamples = jnp.full((num_px,), cfg.min_samples, jnp.int32)
+    nsamples = jnp.full((num_px,), bounds[0], jnp.int32)
 
-    if cfg.max_samples > cfg.min_samples:
-        need = _need_mask(cfg, rad, rad2, hits)
-        carry = (rad, rad2, hits, z)
-        carry = run(carry, need, k2, sample_base + cfg.min_samples,
-                    sample_base + cfg.max_samples)
-        rad, rad2b, hits, z = carry
-        nsamples = nsamples + jnp.where(need, cfg.max_samples - cfg.min_samples, 0)
+    need = all_px
+    for rung, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+        # variance over ALL accumulated hit samples (colorlist grows
+        # across rungs, main.cpp:273); a pixel that stops never resumes
+        need = need & _need_mask(cfg, rad, rad2, hits)
+        kr = k2 if rung == 0 else jax.random.fold_in(k2, rung)
+        carry = run((rad, rad2, hits, z), need, kr,
+                    sample_base + lo, sample_base + hi)
+        rad, rad2, hits, z = carry
+        nsamples = nsamples + jnp.where(need, hi - lo, 0)
 
     order = jnp.asarray(pixel_order(scene.width, scene.height))
     return lanes_to_pixels(rad, hits, z, nsamples, order)

@@ -74,6 +74,93 @@ def test_grid_estimate_matches_bruteforce(scene, photons):
                                    atol=1e-5)
 
 
+def _np_knn_oracle(pos, dirs, pw, q, radius, k, nrm=None):
+    """Reference bounded-heap semantics (cyPhotonMap.h:288-336,
+    :365-440): keep the k nearest accepted photons; dist2[0] (the area
+    radius) is the k-th nearest distance when >k photons are in range,
+    else the cap radius."""
+    d2 = ((pos - q) ** 2).sum(1)
+    ok = d2 < radius * radius
+    if nrm is not None:
+        ok &= dirs @ nrm < 0
+    d2s = np.sort(d2[ok])
+    if len(d2s) > k:
+        r2 = d2s[k - 1]
+        sel = ok & (d2 <= r2)
+    else:
+        r2 = radius * radius
+        sel = ok
+    return pw[sel].sum(0) / (np.pi * r2)
+
+
+def test_exact_knn_at_density_gradient():
+    """Exact bounded-k estimate vs the brute-force k-nearest oracle at a
+    caustic-like clustered distribution — exactly where the legacy
+    uniform-density radius shrink is wrong (VERDICT.md round-1 #6)."""
+    rng = np.random.RandomState(11)
+    n_cluster, n_bg = 3000, 800
+    pc = rng.normal(0, 0.35, (n_cluster, 3)).astype(np.float32)
+    pb = rng.uniform(-8, 8, (n_bg, 3)).astype(np.float32)
+    pos = np.concatenate([pc, pb])
+    n = len(pos)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pw = rng.uniform(0.1, 1.0, (n, 3)).astype(np.float32)
+    pm = PhotonMapData(pos=jnp.asarray(pos), dir=jnp.asarray(dirs),
+                       power=jnp.asarray(pw), count=jnp.int32(n))
+    radius, k = 2.0, 64
+    grid = build_photon_grid(pm, radius, (-8, -8, -8), (8, 8, 8))
+    # queries spanning the density gradient: cluster core, shoulder,
+    # sparse background
+    q = np.array([[0, 0, 0], [0.3, 0, 0], [0.8, 0.4, 0.2],
+                  [2.5, 0, 0], [6, 6, 6]], np.float32)
+    nrm = np.tile(np.array([[0, 0, 1]], np.float32), (len(q), 1))
+    irr, _ = estimate_irradiance(grid, jnp.asarray(q), jnp.asarray(nrm),
+                                 radius=radius, k=k, exact=True,
+                                 max_per_cell=4096)
+    for qi in range(len(q)):
+        want = _np_knn_oracle(pos, dirs, pw, q[qi], radius, k, nrm[qi])
+        np.testing.assert_allclose(np.asarray(irr)[qi], want,
+                                   rtol=2e-3, atol=1e-5,
+                                   err_msg=f"query {qi}")
+
+
+def test_exact_knn_normal_free_and_filters():
+    """Exact path with q_normal=None (volume corners) and the linear /
+    quadratic filters normalizes by the true k-th distance."""
+    rng = np.random.RandomState(5)
+    pos = rng.normal(0, 0.5, (2000, 3)).astype(np.float32)
+    dirs = rng.normal(size=(2000, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pw = np.ones((2000, 3), np.float32) * 0.01
+    pm = PhotonMapData(pos=jnp.asarray(pos), dir=jnp.asarray(dirs),
+                       power=jnp.asarray(pw), count=jnp.int32(2000))
+    radius, k = 2.0, 32
+    grid = build_photon_grid(pm, radius, (-4, -4, -4), (4, 4, 4))
+    q = np.array([[0, 0, 0], [1, 1, 0]], np.float32)
+    irr, _ = estimate_irradiance(grid, jnp.asarray(q), None,
+                                 radius=radius, k=k, exact=True,
+                                 max_per_cell=4096)
+    for qi in range(len(q)):
+        d2 = ((pos - q[qi]) ** 2).sum(1)
+        d2s = np.sort(d2[d2 < radius * radius])
+        r2 = d2s[k - 1] if len(d2s) > k else radius * radius
+        sel = d2 <= r2
+        want = pw[sel].sum(0) / (np.pi * r2)
+        np.testing.assert_allclose(np.asarray(irr)[qi], want, rtol=2e-3)
+    # linear filter: weights 1 - d/r_k, area pi/3 r_k^2
+    irr_l, _ = estimate_irradiance(grid, jnp.asarray(q), None,
+                                   radius=radius, k=k, exact=True,
+                                   filter_type=1, max_per_cell=4096)
+    d2 = ((pos - q[0]) ** 2).sum(1)
+    d2s = np.sort(d2[d2 < radius * radius])
+    r2 = d2s[k - 1] if len(d2s) > k else radius * radius
+    sel = d2 <= r2
+    w = 1.0 - np.sqrt(d2[sel]) / np.sqrt(r2)
+    want = (pw[sel] * w[:, None]).sum(0) / ((np.pi / 3.0) * r2)
+    np.testing.assert_allclose(np.asarray(irr_l)[0], want, rtol=2e-3)
+
+
 def test_knn_radius_shrink(scene, photons):
     """With a small k the estimate must use a smaller effective area ->
     larger or equal density than the capped-radius estimate."""

@@ -74,6 +74,41 @@ def sceneb(args):
     print(f"wrote {path}")
 
 
+def sceneb_frame_time(width=800, height=600, spp=4, hemi=8,
+                      photons=1_000_000) -> float:
+    """Steady-state scene_b hybrid-GI frame time in seconds (the
+    bench.py `sceneb_hybrid_gi_frame_time_s_800x600` extra).  Same
+    pipeline as `sceneb` minus the PNG artifact; restores cwd."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from rtf_tpu.render.config import PROFILES
+    from rtf_tpu.render.renderer import (
+        prepare_photon_grid, render_device_host)
+    from rtf_tpu.scene import build_scene, load_scene
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(os.path.dirname(SCENE_B) + "/..")
+        desc = load_scene(SCENE_B)
+        desc.camera.width, desc.camera.height = width, height
+        scene = build_scene(desc)
+        cfg = PROFILES["final"].with_(
+            split_mode="rr", min_samples=spp, max_samples=spp,
+            hemisphere_samples=hemi, photon_count=photons)
+        grid = prepare_photon_grid(scene, cfg, jax.random.PRNGKey(7))
+        out = render_device_host(scene, cfg, jax.random.PRNGKey(0),
+                                 gi_grid=grid)  # compile + volume build
+        np.asarray(jnp.isfinite(out[0]).all())
+        t0 = time.perf_counter()
+        out = render_device_host(scene, cfg, jax.random.PRNGKey(1),
+                                 gi_grid=grid)
+        assert bool(np.asarray(jnp.isfinite(out[0]).all()))
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        os.chdir(cwd)
+
+
 def caustics(args):
     import numpy as np
     import jax
