@@ -102,10 +102,11 @@ PROFILES = {
                           light_average=False, inverse_square=False,
                           shadow_min=1, shadow_max=1, gamma=0.0,
                           env_on_reflect_miss=True),
-    # Proj10: soft shadows + glossy
+    # Proj10: soft shadows + glossy (still no falloff/gamma — PointLight
+    # returns intensity*shadow with no 1/r^2, Proj10 lights.h:66-89)
     "proj10": RenderConfig(min_samples=4, max_samples=64, bounces=5,
-                           light_average=False, gamma=0.0,
-                           env_on_reflect_miss=True),
+                           light_average=False, inverse_square=False,
+                           gamma=0.0, env_on_reflect_miss=True),
     # Proj11: MC GI (hemisphere at first hit), gamma 2.2
     "proj11": RenderConfig(min_samples=4, max_samples=16, bounces=4,
                            gi_mode="hemisphere", hemisphere_samples=20),

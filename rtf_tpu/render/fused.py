@@ -54,7 +54,13 @@ BLOCK = 1024          # rays per program: one [8, 128] register set
 SUB = 8
 MAX_FACES = 512       # immediate-triangle budget per scene
 MXU_TILE = 128        # faces per MXU tile (large-mesh path)
-MXU_MAX_FACES = 32768  # large-mesh (matmul-table) budget per scene
+MXU_MAX_FACES = 32768  # VMEM-resident matmul-table budget per scene
+# above the resident budget the tables live in HBM and the tile loop
+# DMAs each culled-in tile into VMEM scratch (VERDICT round-1 #5: no
+# silent capacity cliff); the stream bound is the SMEM AABB row budget
+MXU_STREAM_MAX_FACES = 1 << 20
+# resident tables above this many bytes stream from HBM instead
+MXU_VMEM_TABLE_BYTES = 24 * 2 ** 20
 
 # rays_sh attribute rows
 R_O, R_D, R_TPUT, R_ABS, R_ALIVE, R_RTYPE = 0, 3, 6, 9, 12, 13
@@ -102,7 +108,8 @@ def scene_consts(scene):
                  gloss=float(mt.glossiness[i]),
                  refl=vec(mt.reflection[i]), refr=vec(mt.refraction[i]),
                  ior=float(mt.ior[i]), absorb=vec(mt.absorption[i]),
-                 emis=vec(mt.emission[i]))
+                 emis=vec(mt.emission[i]),
+                 rgl=float(mt.refl_gloss[i]), tgl=float(mt.refr_gloss[i]))
             for i in range(mt.diffuse.shape[0])]
 
     # checker texture maps on kd/ks (TextureChecker, texture.cpp:125-133
@@ -390,14 +397,10 @@ def _scene_fuse_info(scene) -> bool:
                         scene.mesh_inst.mtl)[:scene.num_mesh_inst]}
                 if tex_mtls & mesh_mtls:
                     ok = False
-    if ok and float(np.asarray(mt.refl_gloss).max(initial=0.0)) > 0:
-        ok = False
-    if ok and float(np.asarray(mt.refr_gloss).max(initial=0.0)) > 0:
-        ok = False
     if ok and sum(1 for kk in scene.light_kinds if kk != "ambient") > 2:
         ok = False
     if ok and scene.mesh is not None \
-            and scene.mesh.tri_a.shape[0] > MXU_MAX_FACES:
+            and scene.mesh.tri_a.shape[0] > MXU_STREAM_MAX_FACES:
         ok = False
     if ok and scene.materials.diffuse.shape[0] > 16:
         ok = False
@@ -518,8 +521,7 @@ def _mesh_closest(o3, d3, consts, st, t_cap_scalar, mesh_refs=None,
     insts = consts["mesh_insts"]
     if insts and "mxu" in insts[0]:
         _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
-                          mesh_refs[0], mesh_refs[1], mesh_refs[2],
-                          need_uv=need_uv)
+                          mesh_refs, need_uv=need_uv)
         return
     for inst in consts["mesh_insts"]:
         lo3 = _mat3_apply_const(inst["itm"],
@@ -589,8 +591,7 @@ def _mesh_anyhit(o3, d3, t_cap, consts, st, row, mesh_refs=None):
     caller initializes st[row] to zeros and reads it afterwards."""
     insts = consts["mesh_insts"]
     if insts and "mxu" in insts[0]:
-        _mesh_anyhit_mxu(o3, d3, t_cap, consts, st, row,
-                         mesh_refs[0], mesh_refs[2])
+        _mesh_anyhit_mxu(o3, d3, t_cap, consts, st, row, mesh_refs)
         return
     for inst in consts["mesh_insts"]:
         lo3 = _mat3_apply_const(inst["itm"],
@@ -680,7 +681,7 @@ def _aabb_overlap_smem(aabb_ref, j, rlo, rhi):
 
 
 def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
-                      trit_ref, shade_ref, aabb_ref, need_uv=False):
+                      mesh_refs, need_uv=False):
     """Closest mesh hit, large-mesh path: per tile, ONE [1024,16] x
     [16,5*128] MXU matmul yields every ray x triangle Plücker sign and
     plane term; the VPU epilogue picks the per-ray winner and resolves
@@ -689,7 +690,17 @@ def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
     tables with SMEM AABB culling (compile size O(1) in face count; a
     python-unrolled version took >20 min to compile at 25 tiles).
     Same intersection semantics as ops/pallas_mesh_mxu (and therefore
-    TriObj::IntersectTriangle, objects.h:162-268)."""
+    TriObj::IntersectTriangle, objects.h:162-268).
+
+    Streaming mode (len(mesh_refs) > 3): trit/shade live in HBM; each
+    AABB-passing tile is DMA'd into VMEM scratch before the matmul (the
+    shade tile only when the tile actually produced a hit), so mesh
+    size is bounded by HBM, not VMEM (cyBVH handles arbitrary sizes —
+    so must we)."""
+    trit_ref, shade_ref, aabb_ref = mesh_refs[:3]
+    stream = len(mesh_refs) > 3
+    if stream:
+        trit_s, shade_s, sem_t, sem_s = mesh_refs[3:]
     for inst in consts["mesh_insts"]:
         row0, nt = inst["mxu"]
         lo3 = _mat3_apply_const(inst["itm"],
@@ -706,7 +717,15 @@ def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
                  ld3=ld3):
             @pl.when(_aabb_overlap_smem(aabb_ref, j, rlo, rhi))
             def _():
-                t, valid, sa, sb, sc, dn = _mxu_pair(rays16, trit_ref[j])
+                if stream:
+                    cp = pltpu.make_async_copy(trit_ref.at[j], trit_s,
+                                               sem_t)
+                    cp.start()
+                    cp.wait()
+                    trit_j = trit_s[...]
+                else:
+                    trit_j = trit_ref[j]
+                t, valid, sa, sb, sc, dn = _mxu_pair(rays16, trit_j)
                 tt = jnp.where(valid & (t < t_cap_scalar), t, BIG)
 
                 # winner resolve only when SOMETHING in the tile hit:
@@ -726,7 +745,14 @@ def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
                     # the [T, 16] shade rhs — replaces 5 lane-reduction
                     # selects (HIGHEST: normals/material must be exact)
                     hp = jax.lax.Precision.HIGHEST
-                    sh = shade_ref[j]                          # [T, 16]
+                    if stream:
+                        cp2 = pltpu.make_async_copy(shade_ref.at[j],
+                                                    shade_s, sem_s)
+                        cp2.start()
+                        cp2.wait()
+                        sh = shade_s[...]
+                    else:
+                        sh = shade_ref[j]                      # [T, 24]
                     s1 = jnp.dot(pick, sh,
                                  preferred_element_type=jnp.float32,
                                  precision=hp)
@@ -764,9 +790,13 @@ def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
         jax.lax.fori_loop(row0, row0 + nt, tile, 0)
 
 
-def _mesh_anyhit_mxu(o3, d3, t_cap, consts, st, row, trit_ref, aabb_ref):
+def _mesh_anyhit_mxu(o3, d3, t_cap, consts, st, row, mesh_refs):
     """Mesh occlusion, large-mesh path (GenLight::Shadow t-window with
     per-ray caps applied after the per-tile min-t reduction)."""
+    trit_ref, aabb_ref = mesh_refs[0], mesh_refs[2]
+    stream = len(mesh_refs) > 3
+    if stream:
+        trit_s, sem_t = mesh_refs[3], mesh_refs[5]
     for inst in consts["mesh_insts"]:
         row0, nt = inst["mxu"]
         lo3 = _mat3_apply_const(inst["itm"],
@@ -784,10 +814,18 @@ def _mesh_anyhit_mxu(o3, d3, t_cap, consts, st, row, trit_ref, aabb_ref):
 
             @pl.when(ov)
             def _():
+                if stream:
+                    cp = pltpu.make_async_copy(trit_ref.at[j], trit_s,
+                                               sem_t)
+                    cp.start()
+                    cp.wait()
+                    trit_j = trit_s[...]
+                else:
+                    trit_j = trit_ref[j]
                 # per-ray t_cap can't ride into pair space (the [8,128]
                 # -> [1024,1] relayout is unsupported); equivalent test:
                 # min valid t in the tile < cap  <=>  some valid t < cap
-                t, valid, *_ = _mxu_pair(rays16, trit_ref[j])
+                t, valid, *_ = _mxu_pair(rays16, trit_j)
                 tt = jnp.where(valid & (t > 1e-14), t, BIG)
                 tmin8 = _to88(jnp.min(tt, axis=1))
                 occ = (tmin8 < t_cap) & (tmin8 < BIG)
@@ -993,7 +1031,7 @@ def _out_rows(nbounce, surf_out, gi_from):
 
 def _wave_kernel(seed_ref, rays_ref, *refs, consts, cfg_c, nbounce,
                  use_pid=True, surf_out=False, gi_from=None,
-                 has_mesh_tables=False):
+                 has_mesh_tables=False, stream_mesh=False):
     """The whole wave (all bounces) in one launch: ray state lives in
     registers across the lax.fori_loop, so there is no queue traffic at
     all — HBM sees primary rays in and radiance out.
@@ -1006,7 +1044,12 @@ def _wave_kernel(seed_ref, rays_ref, *refs, consts, cfg_c, nbounce,
       (hit p, n, kd*k_eff*hit) at rows base+(b-k)*9 — the driver turns
       them into irradiance-volume lookups (the deep-bounce photon
       estimate, main.cpp:694-705)."""
-    if has_mesh_tables:
+    if has_mesh_tables and stream_mesh:
+        (trit_ref, shade_ref, aabb_ref, out_ref, st,
+         trit_s, shade_s, sem_t, sem_s) = refs
+        mesh_refs = (trit_ref, shade_ref, aabb_ref,
+                     trit_s, shade_s, sem_t, sem_s)
+    elif has_mesh_tables:
         trit_ref, shade_ref, aabb_ref, out_ref, st = refs
         mesh_refs = (trit_ref, shade_ref, aabb_ref)
     else:
@@ -1307,10 +1350,55 @@ def _shade_from_hit(state, seed, st, consts, cfg_c, t, n3n, mtl, front,
     tz = jnp.where(hit, t, BIG)
 
     # ---- Fresnel split (fresnel_split, main.cpp:577-610) ----------------
+    # Glossy reflection/refraction (Proj13 main.cpp:633-659): Fresnel
+    # COEFFICIENTS use the true normal; child-ray DIRECTIONS use
+    # independently perturbed normals (offset inside the tangent disk
+    # by radius sqrt(U)*glossiness, uniform angle).  Static gate: the
+    # perturbation code is only emitted when the scene has a glossy
+    # material, so non-glossy scenes compile to the original kernel.
     eta = jnp.where(frontb, 1.0 / ior, ior)
     cos_i = nx * vx + ny * vy + nz * vz
-    sgn = jnp.where(cos_i > 0.0, 1.0, -1.0)
-    yx, yy, yz = nx * sgn, ny * sgn, nz * sgn
+    has_gloss = any(m["rgl"] > 0.0 or m["tgl"] > 0.0
+                    for m in consts["materials"])
+    if has_gloss:
+        rg = _select_material(mtl, consts, "rgl", dims=1)
+        tg = _select_material(mtl, consts, "tgl", dims=1)
+
+        def _perturb(gl, soff):
+            par = jnp.abs(nx) > 0.9
+            ax = jnp.where(par, 0.0, 1.0)     # axis = x, or z when n ~ x
+            az = jnp.where(par, 1.0, 0.0)
+            t1x, t1y, t1z = _norm3(ny * az,
+                                   nz * ax - nx * az,
+                                   -ny * ax)   # normalize(n x axis)
+            t2x = ny * t1z - nz * t1y
+            t2y = nz * t1x - nx * t1z
+            t2z = nx * t1y - ny * t1x
+            r = jnp.sqrt(_rand01(seed + soff, shape)) * gl
+            th = _rand01(seed + soff + 977, shape) * (2.0 * np.pi)
+            rc, rs = r * jnp.cos(th), r * jnp.sin(th)
+            return _norm3(nx + t1x * rc + t2x * rs,
+                          ny + t1y * rc + t2y * rs,
+                          nz + t1z * rc + t2z * rs)
+
+        prx, pry, prz = _perturb(rg, 2617)
+        use_r = rg > 0.0
+        nrx = jnp.where(use_r, prx, nx)
+        nry = jnp.where(use_r, pry, ny)
+        nrz = jnp.where(use_r, prz, nz)
+        ptx, pty, ptz = _perturb(tg, 3499)
+        use_t = tg > 0.0
+        ntx = jnp.where(use_t, ptx, nx)
+        nty = jnp.where(use_t, pty, ny)
+        ntz = jnp.where(use_t, ptz, nz)
+        cos_r = nrx * vx + nry * vy + nrz * vz
+        cos_t = ntx * vx + nty * vy + ntz * vz
+    else:
+        nrx, nry, nrz = nx, ny, nz
+        ntx, nty, ntz = nx, ny, nz
+        cos_r = cos_t = cos_i
+    sgn = jnp.where(cos_t > 0.0, 1.0, -1.0)
+    yx, yy, yz = ntx * sgn, nty * sgn, ntz * sgn
     zx = vy * yz - vz * yy
     zy = vz * yx - vx * yz
     zz = vx * yy - vy * yx
@@ -1319,14 +1407,15 @@ def _shade_from_hit(state, seed, st, consts, cfg_c, t, n3n, mtl, front,
     xz = yx * zy - yy * zx
     xx, xy, xz = _norm3(xx, xy, xz)
     sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
-    sin_o = jnp.clip(sin_i * eta, 0.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    sin_o = jnp.clip(sin_t * eta, 0.0, 1.0)
     cos_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_o * sin_o))
     tdx, tdy, tdz = _norm3(-xx * sin_o - yx * cos_o,
                            -xy * sin_o - yy * cos_o,
                            -xz * sin_o - yz * cos_o)
-    rdx, rdy, rdz = _norm3(2.0 * cos_i * nx - vx,
-                           2.0 * cos_i * ny - vy,
-                           2.0 * cos_i * nz - vz)
+    rdx, rdy, rdz = _norm3(2.0 * cos_r * nrx - vx,
+                           2.0 * cos_r * nry - vy,
+                           2.0 * cos_r * nrz - vz)
     c0 = (eta - 1.0) ** 2 / (eta + 1.0) ** 2
     r_c = c0 + (1.0 - c0) * jnp.power(1.0 - jnp.abs(cos_i), 5.0)
     t_c = 1.0 - r_c
@@ -1385,6 +1474,15 @@ def _shade_from_hit(state, seed, st, consts, cfg_c, t, n3n, mtl, front,
 
 def _pad_blocks(n):
     return ((max(n, BLOCK) + BLOCK - 1) // BLOCK) * BLOCK
+
+
+def _stream_tables(mesh_tables) -> bool:
+    """Tables too large for VMEM residency stream tile-by-tile from
+    HBM.  Reads the module global at call time so tests can lower the
+    threshold to exercise the streaming path on small meshes."""
+    return (mesh_tables is not None
+            and mesh_tables[0].nbytes + mesh_tables[1].nbytes
+            > MXU_VMEM_TABLE_BYTES)
 
 
 def _blk4(a):
@@ -1455,22 +1553,35 @@ def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None,
                  # shadow_max when it contains penumbra lanes
                  shadow_samples=cfg.shadow_max,
                  shadow_min_samples=cfg.shadow_min)
+    stream = _stream_tables(mesh_tables)
     kern = functools.partial(_wave_kernel, consts=consts, cfg_c=cfg_c,
                              nbounce=nbounce, use_pid=not interpret,
                              surf_out=surf_out, gi_from=gi_from,
-                             has_mesh_tables=mesh_tables is not None)
+                             has_mesh_tables=mesh_tables is not None,
+                             stream_mesh=stream)
     seeds = jnp.full((1, 1), seed, jnp.int32)
     in_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         _blk4(16),
     ]
     args = [seeds, rays_sh]
+    scratch = [pltpu.VMEM((8, SUB, TRI_LANES), jnp.float32)]
     if mesh_tables is not None:
         trit, shade, aabb = mesh_tables
-        in_specs.append(pl.BlockSpec(trit.shape, lambda i: (0, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec(shade.shape, lambda i: (0, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        if stream:
+            # tables stay in HBM; tiles are DMA'd in on demand
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            scratch += [pltpu.VMEM(trit.shape[1:], jnp.float32),
+                        pltpu.VMEM(shade.shape[1:], jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA]
+        else:
+            in_specs.append(pl.BlockSpec(trit.shape, lambda i: (0, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec(shade.shape,
+                                         lambda i: (0, 0, 0),
+                                         memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(aabb.shape, lambda i: (0, 0),
                                      memory_space=pltpu.SMEM))
         args += [trit, shade, aabb]
@@ -1482,7 +1593,7 @@ def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None,
                              jnp.float32, seeds, rays_sh),
         in_specs=in_specs,
         out_specs=_blk4(n_rows),
-        scratch_shapes=[pltpu.VMEM((8, SUB, TRI_LANES), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,

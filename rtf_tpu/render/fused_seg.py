@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from rtf_tpu.ops.pallas_mesh import TRI_LANES
 from rtf_tpu.ops.pallas_util import out_struct
 from rtf_tpu.render.fused import (
-    BIG, BLOCK, MXU_MAX_FACES, SENTINEL, SUB,
+    BIG, BLOCK, MXU_STREAM_MAX_FACES, SENTINEL, SUB,
     R_ALIVE, R_D, R_O, R_RTYPE, R_TPUT,
     _blk4, _closest_hit, _pack_rays_sh, _pad_blocks, _shade_from_hit,
 )
@@ -75,14 +75,10 @@ def fusable_seg(scene, cfg) -> bool:
         if int(np.asarray(tm).max(initial=-1)) >= 0:
             ok = False
             break
-    if ok and float(np.asarray(mt.refl_gloss).max(initial=0.0)) > 0:
-        ok = False
-    if ok and float(np.asarray(mt.refr_gloss).max(initial=0.0)) > 0:
-        ok = False
     if ok and sum(1 for kk in scene.light_kinds if kk != "ambient") > 2:
         ok = False
     if ok and scene.mesh is not None \
-            and scene.mesh.tri_a.shape[0] > MXU_MAX_FACES:
+            and scene.mesh.tri_a.shape[0] > MXU_STREAM_MAX_FACES:
         ok = False
     if ok and mt.diffuse.shape[0] > 16:
         ok = False
@@ -98,9 +94,15 @@ def fusable_seg(scene, cfg) -> bool:
 # kernels
 
 
-def _seg_hit_kernel(rays_ref, *refs, consts, has_mesh_tables=False):
+def _seg_hit_kernel(rays_ref, *refs, consts, has_mesh_tables=False,
+                    stream_mesh=False):
     """Closest hit only: writes (t, n, mtl, front, uv) rows."""
-    if has_mesh_tables:
+    if has_mesh_tables and stream_mesh:
+        (trit_ref, shade_ref, aabb_ref, out_ref, st,
+         trit_s, shade_s, sem_t, sem_s) = refs
+        mesh_refs = (trit_ref, shade_ref, aabb_ref,
+                     trit_s, shade_s, sem_t, sem_s)
+    elif has_mesh_tables:
         trit_ref, shade_ref, aabb_ref, out_ref, st = refs
         mesh_refs = (trit_ref, shade_ref, aabb_ref)
     else:
@@ -135,7 +137,8 @@ def _seg_hit_kernel(rays_ref, *refs, consts, has_mesh_tables=False):
 
 def _seg_shade_kernel(seed_ref, rays_ref, hit_ref, tex_ref, *refs,
                       consts, cfg_c, use_pid=True,
-                      has_mesh_tables=False, gi_out=False):
+                      has_mesh_tables=False, stream_mesh=False,
+                      gi_out=False):
     """Shading from precomputed hit + texture rows: direct lighting +
     shadows + Fresnel/RR; emits radiance and the next ray state.
 
@@ -143,7 +146,12 @@ def _seg_shade_kernel(seed_ref, rays_ref, hit_ref, tex_ref, *refs,
     the photon-query weight kd*k_eff at rows 21-32 / 33-35 — the driver
     turns them into hemisphere fan-outs and irradiance-volume lookups
     exactly like the monolithic kernel's surf_out/gi_from outputs."""
-    if has_mesh_tables:
+    if has_mesh_tables and stream_mesh:
+        (trit_ref, shade_ref, aabb_ref, out_ref, st,
+         trit_s, shade_s, sem_t, sem_s) = refs
+        mesh_refs = (trit_ref, shade_ref, aabb_ref,
+                     trit_s, shade_s, sem_t, sem_s)
+    elif has_mesh_tables:
         trit_ref, shade_ref, aabb_ref, out_ref, st = refs
         mesh_refs = (trit_ref, shade_ref, aabb_ref)
     else:
@@ -278,29 +286,41 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
                  shadow_min_samples=cfg.shadow_min)
 
     has_mesh = mesh_tables is not None
+    from rtf_tpu.render.fused import _stream_tables
+    stream = _stream_tables(mesh_tables)
     gi_out = surf_out or gi_from is not None
     n_out = OUT_ROWS + (15 if gi_out else 0)
     hit_kern = functools.partial(_seg_hit_kernel, consts=consts,
-                                 has_mesh_tables=has_mesh)
+                                 has_mesh_tables=has_mesh,
+                                 stream_mesh=stream)
     shade_kern = functools.partial(_seg_shade_kernel, consts=consts,
                                    cfg_c=cfg_c, use_pid=not interpret,
                                    has_mesh_tables=has_mesh,
+                                   stream_mesh=stream,
                                    gi_out=gi_out)
     mesh_specs, mesh_args = [], []
+    scratch = [pltpu.VMEM((8, SUB, TRI_LANES), jnp.float32)]
     if has_mesh:
         trit, shade, aabb = mesh_tables
-        mesh_specs = [
-            pl.BlockSpec(trit.shape, lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(shade.shape, lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(aabb.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ]
+        if stream:
+            mesh_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)]
+            scratch += [pltpu.VMEM(trit.shape[1:], jnp.float32),
+                        pltpu.VMEM(shade.shape[1:], jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA]
+        else:
+            mesh_specs = [
+                pl.BlockSpec(trit.shape, lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(shade.shape, lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        mesh_specs.append(pl.BlockSpec(aabb.shape, lambda i: (0, 0),
+                                       memory_space=pltpu.SMEM))
         mesh_args = [trit, shade, aabb]
     seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)
-    scratch = [pltpu.VMEM((8, SUB, TRI_LANES), jnp.float32)]
     # large-mesh tables + per-block rows can exceed the default 16M
     # scoped-vmem budget by a hair; raise the cap
     cparams = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)

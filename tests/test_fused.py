@@ -96,6 +96,40 @@ def test_fused_wave_bounces_mean():
     assert abs(mean_f - mean_x) / max(mean_x, 1e-9) < 0.05
 
 
+def test_fused_wave_glossy_mean():
+    """Proj10 glossy reflection/refraction now runs IN the kernel
+    (perturbed-normal children, main.cpp:633-659): the fused path must
+    accept glossy scenes and agree with the XLA path in the mean."""
+    from rtf_tpu.scene.procedural import box_scene as _bs
+
+    desc = _bs(width=48, height=32, with_mesh=False)
+    desc.materials["mirror"].reflection_glossiness = 0.15
+    desc.materials["glass"].refraction_glossiness = 0.15
+    scene = build_scene(desc)
+    cfg = RenderConfig(min_samples=8, max_samples=8, bounces=2,
+                       shadow_min=1, shadow_max=1, gi_mode="none")
+    assert fusable(scene, cfg)       # the glossy gate is gone
+    w, h = scene.width, scene.height
+    n = w * h
+    order = jnp.asarray(pixel_order(w, h))
+    px, py = order % w, order // w
+    key = jax.random.PRNGKey(0)
+    o, d = primary_rays(scene, px, py, jnp.zeros_like(px), key=key,
+                        halton_bases=(2, 3))
+    o3, d3 = primary_rays_ch(scene, px, py, jnp.zeros_like(px), key=key,
+                             halton_bases=(2, 3))
+    alive = jnp.ones((n,), bool)
+    consts = scene_consts(scene)
+    rad3, _, _ = fused_wave(cfg, consts, o3, d3, alive, jnp.int32(5))
+    inv = jnp.asarray(pixel_order_inv(w, h))
+    out = I.render_wave(scene, cfg, o, d, order, alive, key, n,
+                        inv_pixel=inv)
+    mean_f = float(sum(np.asarray(c).mean() for c in rad3) / 3.0)
+    mean_x = float(np.asarray(out.radiance).mean())
+    assert np.isfinite(mean_f)
+    assert abs(mean_f - mean_x) / max(mean_x, 1e-9) < 0.06
+
+
 def test_fused_gi_hemisphere_mean_matches_xla():
     """Fused hemisphere GI (surface-output relaunch scheme) must agree
     in the mean with the XLA GI path (different RNG streams)."""
@@ -183,6 +217,39 @@ def test_fused_mxu_large_mesh_matches_xla():
     np.testing.assert_array_equal(
         np.asarray(hitl)[inv_np], np.asarray(out.hit_count) > 0)
     np.testing.assert_allclose(rad_f, np.asarray(out.radiance), atol=3e-4)
+
+
+def test_fused_mxu_streamed_tables_match_resident(monkeypatch):
+    """HBM-streamed MXU tables (the >32k-face path: tiles DMA'd into
+    VMEM scratch on demand) must produce bit-identical results to the
+    VMEM-resident path.  The stream threshold is lowered so a small
+    mesh exercises the streaming kernels."""
+    from rtf_tpu.render import fused as F
+    scene = build_scene(box_scene(width=32, height=24, with_mesh=True,
+                                  mesh_subdiv=3))
+    cfg = RenderConfig(min_samples=8, max_samples=8, bounces=1,
+                       shadow_min=1, shadow_max=1, gi_mode="none")
+    w, h = scene.width, scene.height
+    order = jnp.asarray(pixel_order(w, h))
+    px, py = order % w, order // w
+    key = jax.random.PRNGKey(0)
+    o3, d3 = primary_rays_ch(scene, px, py, jnp.zeros_like(px), key=key,
+                             halton_bases=(2, 3))
+    n = w * h
+    alive = jnp.ones((n,), bool)
+    consts = scene_consts(scene)
+    tables = F.mxu_tables(scene)
+    assert not F._stream_tables(tables)
+    res = fused_wave(cfg, consts, o3, d3, alive, jnp.int32(1),
+                     mesh_tables=tables)
+    monkeypatch.setattr(F, "MXU_VMEM_TABLE_BYTES", 0)
+    assert F._stream_tables(tables)
+    srm = fused_wave(cfg, consts, o3, d3, alive, jnp.int32(1),
+                     mesh_tables=tables)
+    for a, b in zip(res[0], srm[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(res[1]), np.asarray(srm[1]))
+    np.testing.assert_array_equal(np.asarray(res[2]), np.asarray(srm[2]))
 
 
 def test_fused_soft_shadow_adaptive():
