@@ -355,23 +355,25 @@ def frozen_consts(scene) -> "Frozen":
 _FUSE_INFO_CACHE = {}
 
 
-def _scene_fuse_info(scene) -> bool:
-    """Cached scene-side fusability facts (touches device arrays)."""
+def _scene_fuse_info(scene):
+    """Cached scene-side fusability: None if fusable, else a reason
+    string (surfaced by the renderer's path-selection log — SURVEY's
+    'no silent caps' discipline)."""
     import weakref
     k = id(scene)
     ent = _FUSE_INFO_CACHE.get(k)
     if ent is not None and ent[0]() is scene:
         return ent[1]
-    ok = True
+    why = None
     if scene.bg_tm >= 0 or scene.env_tm >= 0:
-        ok = False
+        why = "background/environment texture (use the segmented path)"
     mt = scene.materials
-    if ok:
+    if why is None:
         for tm in (mt.emission_tm, mt.reflection_tm, mt.refraction_tm):
             if int(np.asarray(tm).max(initial=-1)) >= 0:
-                ok = False
+                why = "emission/reflection/refraction texture maps"
                 break
-    if ok:
+    if why is None:
         # kd/ks maps fuse IF every referenced texture is a checker
         # (pure math in-kernel) AND no mesh material is textured (mesh
         # uv interpolation is not in the kernel yet)
@@ -384,9 +386,10 @@ def _scene_fuse_info(scene) -> bool:
             kinds = np.asarray(scene.textures.kind)
             for t in tex_ids:
                 if kinds[tm_tex[t]] != TEX_CHECKER:
-                    ok = False
+                    why = ("file texture on kd/ks "
+                           "(use the segmented path)")
                     break
-            if ok:
+            if why is None:
                 tex_mtls = {i for i in range(d_tm.shape[0])
                             if d_tm[i] >= 0 or s_tm[i] >= 0}
                 mesh_mtls = set()
@@ -396,20 +399,34 @@ def _scene_fuse_info(scene) -> bool:
                     mesh_mtls |= {int(m) for m in np.asarray(
                         scene.mesh_inst.mtl)[:scene.num_mesh_inst]}
                 if tex_mtls & mesh_mtls:
-                    ok = False
-    if ok and sum(1 for kk in scene.light_kinds if kk != "ambient") > 2:
-        ok = False
-    if ok and scene.mesh is not None \
+                    why = ("textured mesh material "
+                           "(use the segmented path)")
+    if why is None and sum(1 for kk in scene.light_kinds
+                           if kk != "ambient") > 2:
+        why = "more than 2 non-ambient lights"
+    if why is None and scene.mesh is not None \
             and scene.mesh.tri_a.shape[0] > MXU_STREAM_MAX_FACES:
-        ok = False
-    if ok and scene.materials.diffuse.shape[0] > 16:
-        ok = False
+        why = (f"mesh has {scene.mesh.tri_a.shape[0]} faces > "
+               f"streaming budget {MXU_STREAM_MAX_FACES}")
+    if why is None and scene.materials.diffuse.shape[0] > 16:
+        why = f"{scene.materials.diffuse.shape[0]} materials > 16"
     try:
         ref = weakref.ref(scene)
     except TypeError:
         ref = (lambda s=scene: s)
-    _FUSE_INFO_CACHE[k] = (ref, ok)
-    return ok
+    _FUSE_INFO_CACHE[k] = (ref, why)
+    return why
+
+
+def fuse_reason(scene, cfg):
+    """None if the monolithic fused path can run, else why not."""
+    if cfg.gi_mode == "photon" and not cfg.photon_volume:
+        return "gi_mode=photon without photon_volume (exact kNN is XLA)"
+    if cfg.gi_mode not in ("none", "hemisphere", "pathtrace", "photon"):
+        return f"gi_mode={cfg.gi_mode!r} not kernelized"
+    if cfg.resolved_split_mode() != "rr":
+        return "split_mode='both' (exact Fresnel split is XLA-only)"
+    return _scene_fuse_info(scene)
 
 
 def fusable(scene, cfg) -> bool:
@@ -421,13 +438,7 @@ def fusable(scene, cfg) -> bool:
     volume (gi/volume.py) sampled on the kernel's per-bounce hit-point
     outputs.  'photon' requires cfg.photon_volume (the exact per-point
     gather stays on the XLA path)."""
-    if cfg.gi_mode == "photon" and not cfg.photon_volume:
-        return False
-    if cfg.gi_mode not in ("none", "hemisphere", "pathtrace", "photon"):
-        return False
-    if cfg.resolved_split_mode() != "rr":
-        return False
-    return _scene_fuse_info(scene)
+    return fuse_reason(scene, cfg) is None
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,43 @@ OUT_ROWS = 21   # rad rgb, hit, z, next-ray state (16)
 _SEG_INFO_CACHE = {}
 
 
+def seg_reason(scene, cfg):
+    """None if the segmented path can run, else why not (logged by the
+    renderer's path selection)."""
+    if cfg.gi_mode == "photon" and not cfg.photon_volume:
+        return "gi_mode=photon without photon_volume (exact kNN is XLA)"
+    if cfg.gi_mode not in ("none", "hemisphere", "pathtrace", "photon"):
+        return f"gi_mode={cfg.gi_mode!r} not kernelized"
+    if cfg.resolved_split_mode() != "rr":
+        return "split_mode='both' (exact Fresnel split is XLA-only)"
+    import weakref
+    k = id(scene)
+    ent = _SEG_INFO_CACHE.get(k)
+    if ent is not None and ent[0]() is scene:
+        return ent[1]
+    why = None
+    mt = scene.materials
+    for tm in (mt.emission_tm, mt.reflection_tm, mt.refraction_tm):
+        if int(np.asarray(tm).max(initial=-1)) >= 0:
+            why = "emission/reflection/refraction texture maps"
+            break
+    if why is None and sum(1 for kk in scene.light_kinds
+                           if kk != "ambient") > 2:
+        why = "more than 2 non-ambient lights"
+    if why is None and scene.mesh is not None \
+            and scene.mesh.tri_a.shape[0] > MXU_STREAM_MAX_FACES:
+        why = (f"mesh has {scene.mesh.tri_a.shape[0]} faces > "
+               f"streaming budget {MXU_STREAM_MAX_FACES}")
+    if why is None and mt.diffuse.shape[0] > 16:
+        why = f"{mt.diffuse.shape[0]} materials > 16"
+    try:
+        ref = weakref.ref(scene)
+    except TypeError:
+        ref = (lambda s=scene: s)
+    _SEG_INFO_CACHE[k] = (ref, why)
+    return why
+
+
 def fusable_seg(scene, cfg) -> bool:
     """Can this scene+config run on the segmented path?  Everything the
     monolithic gate requires EXCEPT kd/ks/env/bg texture restrictions —
@@ -58,36 +95,7 @@ def fusable_seg(scene, cfg) -> bool:
     interpolate per-face vertex uv).  GI modes ride the same fused GI
     drivers with wave_fn=fused_wave_seg; 'photon' needs the
     irradiance-volume option like the monolithic path."""
-    if cfg.gi_mode == "photon" and not cfg.photon_volume:
-        return False
-    if cfg.gi_mode not in ("none", "hemisphere", "pathtrace", "photon"):
-        return False
-    if cfg.resolved_split_mode() != "rr":
-        return False
-    import weakref
-    k = id(scene)
-    ent = _SEG_INFO_CACHE.get(k)
-    if ent is not None and ent[0]() is scene:
-        return ent[1]
-    ok = True
-    mt = scene.materials
-    for tm in (mt.emission_tm, mt.reflection_tm, mt.refraction_tm):
-        if int(np.asarray(tm).max(initial=-1)) >= 0:
-            ok = False
-            break
-    if ok and sum(1 for kk in scene.light_kinds if kk != "ambient") > 2:
-        ok = False
-    if ok and scene.mesh is not None \
-            and scene.mesh.tri_a.shape[0] > MXU_STREAM_MAX_FACES:
-        ok = False
-    if ok and mt.diffuse.shape[0] > 16:
-        ok = False
-    try:
-        ref = weakref.ref(scene)
-    except TypeError:
-        ref = (lambda s=scene: s)
-    _SEG_INFO_CACHE[k] = (ref, ok)
-    return ok
+    return seg_reason(scene, cfg) is None
 
 
 # ---------------------------------------------------------------------------

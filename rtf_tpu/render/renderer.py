@@ -32,6 +32,24 @@ from rtf_tpu.render.config import RenderConfig
 from rtf_tpu.render.integrator import WaveOutput, render_wave
 
 
+_logger = __import__("logging").getLogger("rtf_tpu.render")
+_LOGGED_PATHS = set()
+
+
+def _log_path(scene, path: str, why):
+    """Announce the execution-path decision once per (scene, path) —
+    silent capacity cliffs cost users 10x with no clue (round-1 VERDICT
+    #5); `RTF_QUIET=1` suppresses."""
+    import os
+    key = (id(scene), path)
+    if key in _LOGGED_PATHS or os.environ.get("RTF_QUIET"):
+        return
+    _LOGGED_PATHS.add(key)
+    msg = f"render path: {path}" + (f" ({why})" if why else "")
+    _logger.info(msg)
+    print(f"[rtf] {msg}", flush=True)
+
+
 def _seg_wave_fn(scene):
     """Bind the segmented wave to its scene (texture tables live on the
     scene, not in the kernel immediates)."""
@@ -341,12 +359,16 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
     fused_mode = "mono"
     fused_eligible = None
     if jax.default_backend() == "tpu":
-        from rtf_tpu.render.fused import fusable
-        from rtf_tpu.render.fused_seg import fusable_seg
-        if fusable(scene, cfg):
+        from rtf_tpu.render.fused import fuse_reason
+        from rtf_tpu.render.fused_seg import seg_reason
+        mono_why = fuse_reason(scene, cfg)
+        if mono_why is None:
             fused_eligible = "mono"
-        elif fusable_seg(scene, cfg):
+        elif seg_reason(scene, cfg) is None:
             fused_eligible = "seg"
+        else:
+            _log_path(scene, "XLA wavefront",
+                      f"fused: {mono_why}; seg: {seg_reason(scene, cfg)}")
     caustic_vol = None
     if caustic_grid is not None and cfg.photon_volume and fused_eligible:
         from rtf_tpu.gi.volume import IrradianceVolume
@@ -361,6 +383,10 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
         fused_mode = fused_eligible
         fused_consts = frozen_consts(scene)
         mesh_tables = mxu_tables(scene)
+        _log_path(scene, f"fused[{fused_eligible}]", None)
+    elif fused_eligible:
+        _log_path(scene, "XLA wavefront",
+                  "caustic grid present but no caustic volume built")
     if fused_consts is not None:
         gi_grid = None   # the fused path replaces the XLA gather
     elif gi_vol is not None:
