@@ -236,6 +236,48 @@ def _kth_r2(grid: PhotonGrid, q_pos, q_normal, r_cap2, k: int,
     return r2k
 
 
+def nearest_photon(grid: PhotonGrid, q_pos, photon_chunk: int = 4096):
+    """Single nearest photon per query point — the analog of
+    cy::PhotonMap::GetNearestPhoton (cyPhotonMap.h:340-361), which walks
+    the whole kd-tree unbounded.  Unbounded search does not fit the
+    27-cell gather, so this is an exact chunked scan over the photon
+    array (the API is a debug/viz helper, never on the render path).
+
+    Returns (pos [M,3], dir [M,3], power [M,3], d2 [M]); d2 = +inf and
+    the payloads are zero where the map is empty.
+    """
+    cap = grid.pos.shape[0]
+    m = q_pos.shape[0]
+    chunk = min(photon_chunk, cap)
+    pad = (-cap) % chunk
+    n_chunks = (cap + pad) // chunk
+
+    best_d2 = jnp.full((m,), jnp.inf, jnp.float32)
+    best_i = jnp.zeros((m,), jnp.int32)
+
+    def body(c, carry):
+        best_d2, best_i = carry
+        i0 = c * chunk
+        idx = jnp.minimum(i0 + jnp.arange(chunk), cap - 1)
+        pp = grid.pos[idx]                                  # [C,3]
+        d2 = jnp.sum((pp[None, :, :] - q_pos[:, None, :]) ** 2, -1)
+        d2 = jnp.where((idx < grid.n_valid)[None, :], d2, jnp.inf)
+        j = jnp.argmin(d2, axis=1)
+        dmin = jnp.take_along_axis(d2, j[:, None], 1)[:, 0]
+        better = dmin < best_d2
+        best_d2 = jnp.where(better, dmin, best_d2)
+        best_i = jnp.where(better, idx[j], best_i)
+        return best_d2, best_i
+
+    best_d2, best_i = jax.lax.fori_loop(0, n_chunks, body,
+                                        (best_d2, best_i))
+    found = jnp.isfinite(best_d2)[:, None]
+    return (jnp.where(found, grid.pos[best_i], 0.0),
+            jnp.where(found, grid.dir[best_i], 0.0),
+            jnp.where(found, grid.power[best_i], 0.0),
+            best_d2)
+
+
 def estimate_irradiance(grid: PhotonGrid, q_pos, q_normal,
                         radius: float, k: int,
                         filter_type: int = FILTER_CONSTANT,

@@ -109,9 +109,42 @@ def sample_texmap(scene, tm_id: jnp.ndarray, uvw: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((tm_id >= 0)[..., None], col, jnp.ones_like(col))
 
 
-def sample_textured_color(scene, color, tm_id: jnp.ndarray, uvw: jnp.ndarray):
-    """TexturedColor::Sample — `color` is [3] or [N,3], tm_id is [N]."""
-    return jnp.asarray(color) * sample_texmap(scene, tm_id, uvw)
+def sample_texmap_filtered(scene, tm_id, uvw, duv0, duv1,
+                           n_samples: int = 32):
+    """Elliptic footprint filtering — Texture::Sample(uvw, duvw)
+    (scene.h:331-349, TEXTURE_SAMPLE_COUNT=32): averages `n_samples`
+    texture taps over the ellipse spanned by duv0/duv1 ([N,2] uv-space
+    footprint vectors from ops.trace.footprint_duv).  Tap i>0 lies at
+    Halton_2(i), Halton_3(i) mapped to a radius-0.5 disk, exactly the
+    reference's mapping.  The per-map uvw transform applies inside each
+    tap (linear), matching TextureMap semantics."""
+    import math
+
+    from rtf_tpu.core.halton import halton_np
+    zero = jnp.zeros(uvw.shape[:-1] + (1,), uvw.dtype)
+    d0 = jnp.concatenate([duv0, zero], axis=-1)
+    d1 = jnp.concatenate([duv1, zero], axis=-1)
+    acc = sample_texmap(scene, tm_id, uvw)
+    for i in range(1, n_samples):
+        hx = float(halton_np(i, 2))
+        hy = float(halton_np(i, 3))
+        r = math.sqrt(hx) * 0.5
+        x = r * math.sin(2.0 * math.pi * hy)
+        y = r * math.cos(2.0 * math.pi * hy)
+        acc = acc + sample_texmap(scene, tm_id, uvw + x * d0 + y * d1)
+    return acc / float(n_samples)
+
+
+def sample_textured_color(scene, color, tm_id: jnp.ndarray, uvw: jnp.ndarray,
+                          duv=None, n_filter: int = 32):
+    """TexturedColor::Sample — `color` is [3] or [N,3], tm_id is [N].
+    duv=(duv0, duv1) enables footprint filtering (scene.h:331-349)."""
+    if duv is not None:
+        tex = sample_texmap_filtered(scene, tm_id, uvw, duv[0], duv[1],
+                                     n_samples=n_filter)
+    else:
+        tex = sample_texmap(scene, tm_id, uvw)
+    return jnp.asarray(color) * tex
 
 
 def env_uvw(direction: jnp.ndarray) -> jnp.ndarray:

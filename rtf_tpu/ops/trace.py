@@ -377,6 +377,90 @@ def resolve_surface(scene, o, d, hit: Hit) -> Surface:
                    front=hit.front, t=hit.t, valid=hit.is_hit)
 
 
+def footprint_duv(scene, o, d, hit: Hit, surf: Surface,
+                  xang: float, yang: float):
+    """Texture-space footprint derivatives (duv0, duv1), each [N,2] —
+    the analog of the reference's disabled `calculateduvw`
+    (RayTracingProj7 objects.h:81-87 plane, :152-158 mesh): the pixel's
+    angular extent (xang/yang = per-pixel width/height at unit distance)
+    is projected onto the hit tangent plane,
+
+        f0 = t * yang * normalize(d x N),
+        f1 = t * xang * normalize((d x N) x N),
+
+    then converted from world to uv space through each primitive's
+    parameterization (the reference added the world vectors to uvw
+    directly; we convert exactly: plane uv = (local.xy+1)/2, sphere
+    angular-map derivative, mesh per-face sqrt(uv-area/world-area))."""
+    n_rays = o.shape[0]
+    nw = surf.n
+    yhat = jnp.cross(d, nw)
+    ylen = jnp.linalg.norm(yhat, axis=-1, keepdims=True)
+    # head-on rays (d parallel to N) degenerate d x N; fall back to any
+    # tangent frame of N (the reference formula would NaN here)
+    alt = jnp.where((jnp.abs(nw[:, :1]) < 0.9),
+                    jnp.asarray([1.0, 0.0, 0.0], o.dtype),
+                    jnp.asarray([0.0, 1.0, 0.0], o.dtype))
+    fallback = normalize(jnp.cross(nw, alt))
+    yhat = jnp.where(ylen > 1e-6, yhat / jnp.maximum(ylen, 1e-12),
+                     fallback)
+    xhat = normalize(jnp.cross(yhat, nw))
+    t = hit.t[:, None]
+    # grazing incidence stretches the footprint along xhat by 1/|N.d|
+    # (ray-cone projection; clamped so silhouettes stay bounded)
+    stretch = 1.0 / jnp.maximum(jnp.abs(dot(d, nw))[:, None], 0.05)
+    f0 = t * yang * yhat
+    f1 = t * xang * xhat * stretch
+
+    duv0 = jnp.zeros((n_rays, 2), o.dtype)
+    duv1 = jnp.zeros((n_rays, 2), o.dtype)
+
+    from rtf_tpu.ops.texture import _sel_rows
+
+    def local_pair(group):
+        itm = _sel_rows(group.itm, hit.inst)
+        return mat3_apply_batched(itm, f0), mat3_apply_batched(itm, f1)
+
+    if scene.num_planes > 0:
+        lf0, lf1 = local_pair(scene.planes)
+        m = (hit.kind == KIND_PLANE)[:, None]
+        duv0 = jnp.where(m, lf0[:, :2] * 0.5, duv0)
+        duv1 = jnp.where(m, lf1[:, :2] * 0.5, duv1)
+
+    if scene.num_spheres > 0:
+        itm = _sel_rows(scene.spheres.itm, hit.inst)
+        pos = _sel_rows(scene.spheres.pos, hit.inst)
+        lp = mat3_apply_batched(itm, surf.p - pos)   # unit-sphere point
+        lf0, lf1 = local_pair(scene.spheres)
+        r2xy = jnp.maximum(lp[:, 0] ** 2 + lp[:, 1] ** 2, 1e-8)
+        vden = jnp.pi * jnp.sqrt(jnp.maximum(1.0 - lp[:, 2] ** 2, 1e-8))
+
+        def sph_duv(lf):
+            du = ((lp[:, 0] * lf[:, 1] - lp[:, 1] * lf[:, 0])
+                  / (2.0 * jnp.pi * r2xy))
+            dv = lf[:, 2] / vden
+            return jnp.stack([du, dv], axis=-1)
+
+        m = (hit.kind == KIND_SPHERE)[:, None]
+        duv0 = jnp.where(m, sph_duv(lf0), duv0)
+        duv1 = jnp.where(m, sph_duv(lf1), duv1)
+
+    if scene.mesh is not None and scene.num_mesh_inst > 0:
+        itm = _sel_rows(scene.mesh_inst.itm, hit.inst)
+        lf0 = mat3_apply_batched(itm, f0)
+        lf1 = mat3_apply_batched(itm, f1)
+        uvscale = scene.mesh.attr_t[hit.face, 9]
+        s0 = jnp.linalg.norm(lf0, axis=-1) * uvscale
+        s1 = jnp.linalg.norm(lf1, axis=-1) * uvscale
+        z = jnp.zeros_like(s0)
+        m = (hit.kind == KIND_MESH)[:, None]
+        duv0 = jnp.where(m, jnp.stack([s0, z], -1), duv0)
+        duv1 = jnp.where(m, jnp.stack([z, s1], -1), duv1)
+
+    ok = surf.valid[:, None]
+    return jnp.where(ok, duv0, 0.0), jnp.where(ok, duv1, 0.0)
+
+
 def trace_shadow(scene, o: jnp.ndarray, d: jnp.ndarray,
                  t_max) -> jnp.ndarray:
     """Shadow factor: 1.0 lit, 0.0 occluded (GenLight::Shadow,

@@ -56,6 +56,13 @@ class RenderConfig:
     # gathers on the XLA path
     photon_volume: bool = True
 
+    # ---- ray-differential texture filtering (opt-in quality; the
+    # reference's Texture::Sample elliptic filter, scene.h:331-349 +
+    # the disabled calculateduvw, RayTracingProj7 objects.h:81-87 —
+    # dead code there because duvw stays 0; live here when enabled)
+    tex_filter: bool = False
+    tex_filter_samples: int = 32    # TEXTURE_SAMPLE_COUNT (scene.h:18)
+
     # environment sampled on reflection-ray miss too (Proj8-era Shade,
     # RayTracingProj8 main.cpp:382-384); Final restricts it to refraction
     env_on_reflect_miss: bool = False

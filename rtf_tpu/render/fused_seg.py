@@ -60,6 +60,8 @@ def seg_reason(scene, cfg):
         return f"gi_mode={cfg.gi_mode!r} not kernelized"
     if cfg.resolved_split_mode() != "rr":
         return "split_mode='both' (exact Fresnel split is XLA-only)"
+    if cfg.tex_filter:
+        return "tex_filter (ray-differential filtering is XLA-only)"
     import weakref
     k = id(scene)
     ent = _SEG_INFO_CACHE.get(k)

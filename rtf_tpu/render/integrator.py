@@ -113,7 +113,21 @@ def shade_lanes(scene, cfg, o, d, tput, absorb, pixel, alive, rtype,
     atten = jnp.exp(-absorb * surf.t[:, None])
     k_eff = tput * jnp.where(surf.front[:, None], 1.0, atten)
 
-    mtl = sample_material(scene, surf.mtl, surf.uvw)
+    if cfg.tex_filter and scene.tm_channels:
+        # ray-differential footprint filtering, primary rays only (the
+        # reference only ever sets xangle/yangle on camera rays,
+        # RayTracingProj7 main.cpp:141-142; secondary duvw stays 0)
+        import math
+
+        from rtf_tpu.ops.trace import footprint_duv
+        pix = 2.0 * math.tan(math.radians(scene.fov) * 0.5) / scene.height
+        duv0, duv1 = footprint_duv(scene, o, d, hit, surf, pix, pix)
+        prim = (rtype == RT_PRIMARY)[:, None]
+        duv = (jnp.where(prim, duv0, 0.0), jnp.where(prim, duv1, 0.0))
+    else:
+        duv = None
+    mtl = sample_material(scene, surf.mtl, surf.uvw, duv=duv,
+                          n_filter=cfg.tex_filter_samples)
     view = -d  # d is normalized
     if cfg.gi_mode == "pm_direct":
         # photon map as ALL diffuse lighting (direct + indirect): no

@@ -39,11 +39,16 @@ class MtlSample(NamedTuple):
     refr_gloss: jnp.ndarray  # [N]
 
 
-def sample_material(scene, mtl_id: jnp.ndarray, uvw: jnp.ndarray) -> MtlSample:
+def sample_material(scene, mtl_id: jnp.ndarray, uvw: jnp.ndarray,
+                    duv=None, n_filter: int = 32) -> MtlSample:
     """Per-lane material attributes.  Table rows ride unrolled selects
     (no gathers — see ops.texture._sel_rows) and texture sampling is
     SKIPPED statically for channels no material maps (scene.tm_channels),
-    so untextured scenes never touch the atlas."""
+    so untextured scenes never touch the atlas.
+
+    duv=(duv0, duv1) [N,2] enables elliptic footprint filtering of every
+    textured channel, the analog of passing hInfo.duvw into
+    TexturedColor::Sample (Final/main.cpp:531-532, scene.h:331-349)."""
     from rtf_tpu.ops.texture import _sel_rows
     m = scene.materials
 
@@ -52,7 +57,7 @@ def sample_material(scene, mtl_id: jnp.ndarray, uvw: jnp.ndarray) -> MtlSample:
         if name not in scene.tm_channels:
             return col
         return sample_textured_color(scene, col, _sel_rows(tm_tbl, mtl_id),
-                                     uvw)
+                                     uvw, duv=duv, n_filter=n_filter)
 
     return MtlSample(
         kd=chan(m.diffuse, m.diffuse_tm, "diffuse"),

@@ -403,6 +403,19 @@ class _Builder:
         attr_t[:, 0:3] = ta_
         attr_t[:, 3:6] = tb_
         attr_t[:, 6:9] = tc_
+        # col 9: per-face isotropic uv density sqrt(area_uv/area_local)
+        # — converts a local-space footprint length into a uv-space
+        # footprint for ray-differential texture filtering (the analog
+        # of TriObj::calculateduvw, RayTracingProj7 objects.h:152-158)
+        a_ = np.concatenate(tri["a"]).astype(F32)
+        bv_ = np.concatenate(tri["b"]).astype(F32)
+        c_ = np.concatenate(tri["c"]).astype(F32)
+        area_w = 0.5 * np.linalg.norm(
+            np.cross(bv_ - a_, c_ - a_), axis=1)
+        t1 = (tb_ - ta_)[:, :2]
+        t2 = (tc_ - ta_)[:, :2]
+        area_uv = 0.5 * np.abs(t1[:, 0] * t2[:, 1] - t1[:, 1] * t2[:, 0])
+        attr_t[:, 9] = np.sqrt(area_uv / np.maximum(area_w, 1e-20))
 
         return MeshArena(
             tri_a=cat(tri["a"]), tri_b=cat(tri["b"]), tri_c=cat(tri["c"]),

@@ -255,3 +255,37 @@ def test_volume_close_to_exact_inside(scene, photons):
     me = float(jnp.mean(jnp.sum(irr_e, -1)))
     assert mv > 0 and me > 0
     assert 0.5 < mv / me < 2.5
+
+
+def test_nearest_photon_matches_bruteforce():
+    """nearest_photon == global argmin distance over the whole map
+    (cyPhotonMap.h:340-361 GetNearestPhoton is unbounded)."""
+    from rtf_tpu.gi.grid import nearest_photon
+    rng = np.random.RandomState(7)
+    n, cap = 1500, 2048  # exercise the padded-capacity masking
+    pos = rng.uniform(-8, 8, (cap, 3)).astype(np.float32)
+    dirs = rng.normal(size=(cap, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pw = rng.uniform(0.1, 1.0, (cap, 3)).astype(np.float32)
+    pm = PhotonMapData(pos=jnp.asarray(pos), dir=jnp.asarray(dirs),
+                       power=jnp.asarray(pw), count=jnp.int32(n))
+    grid = build_photon_grid(pm, 2.0, (-8, -8, -8), (8, 8, 8))
+    q = rng.uniform(-10, 10, (33, 3)).astype(np.float32)  # some outside
+    gp, gd, gw, gd2 = nearest_photon(grid, jnp.asarray(q),
+                                     photon_chunk=512)
+    for qi in range(len(q)):
+        d2 = ((pos[:n] - q[qi]) ** 2).sum(1)
+        j = int(np.argmin(d2))
+        np.testing.assert_allclose(np.asarray(gd2)[qi], d2[j], rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gp)[qi], pos[j], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gw)[qi], pw[j], rtol=1e-6)
+
+
+def test_nearest_photon_empty_map():
+    from rtf_tpu.gi.grid import nearest_photon
+    pm = PhotonMapData(pos=jnp.zeros((64, 3)), dir=jnp.zeros((64, 3)),
+                       power=jnp.zeros((64, 3)), count=jnp.int32(0))
+    grid = build_photon_grid(pm, 1.0, (-1, -1, -1), (1, 1, 1))
+    gp, gd, gw, gd2 = nearest_photon(grid, jnp.zeros((4, 3)))
+    assert bool(jnp.all(jnp.isinf(gd2)))
+    assert bool(jnp.all(gw == 0.0))

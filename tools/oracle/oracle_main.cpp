@@ -25,15 +25,10 @@
 #include ORACLE_MAIN_CPP  // set by build.py: the patched main.cpp
 
 // viewport.cpp (removed by the patch) defined ShowViewport plus the GL
-// rasterization virtuals; the oracle never rasterizes, so stub them.
+// rasterization virtuals; the oracle never rasterizes.  The per-class
+// no-op bodies are auto-generated per project era by build.py into
+// viewport_stubs.cpp (the stub set differs between eras).
 void ShowViewport() {}
-void Sphere::ViewportDisplay(const Material *) const {}
-void Plane::ViewportDisplay(const Material *) const {}
-void TriObj::ViewportDisplay(const Material *) const {}
-void GenLight::SetViewportParam(int, ColorA, ColorA, Point4) const {}
-void MtlBlinn::SetViewportMaterial(int) const {}
-bool TextureFile::SetViewportTexture() const { return false; }
-bool TextureChecker::SetViewportTexture() const { return false; }
 
 int main(int argc, char **argv) {
   if (argc < 3) {

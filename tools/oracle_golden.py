@@ -1,0 +1,98 @@
+"""Converged-golden fidelity loop against the headless reference oracle.
+
+The committed reference PNGs bake in adaptive-sampling and RNG choices
+we cannot replay bit-for-bit (GOLDENS.md).  The oracle (tools/oracle)
+compiles the reference's OWN Trace/Shade code without GLUT, so we can
+force MIN_SAMPLE == MAX_SAMPLE (no adaptive divergence) and render
+CONVERGED ground truth on this machine.  prj8 and prj13box are then
+fully deterministic on both sides (subpixel positions are pure Halton;
+no rand() reaches any active shading path in those scenes), which makes
+the <= 1e-3 RMSE BASELINE bar a real apples-to-apples check
+(VERDICT round-1 item #2).
+
+Usage:  python -m tools.oracle_golden [case ...]     (default: all)
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import subprocess
+import sys
+
+from tools.oracle.build import build
+
+# case -> (project, defines, scene file, our profile, overrides)
+CASES = {
+    # Proj8 at a flat 64 spp: textures + reflection/refraction +
+    # Halton subpixels.  Deterministic (no rand() in any Proj8 path).
+    "prj8c": ("RayTracingProj8",
+              ("MIN_SAMPLE=64", "MAX_SAMPLE=64"),
+              "scene.xml", "proj8",
+              {"min_samples": 64, "max_samples": 64,
+               "split_mode": "both"}),
+    # Proj13 box scene, direct lighting only (the committed code's GI
+    # block is commented out — GOLDENS.md), flat 64 spp.  Deterministic:
+    # the scene's light has size=0 and no material sets
+    # reflection/refraction glossiness, so no rand() affects the image.
+    "prj13c": ("RayTracingProj13",
+               ("MIN_SAMPLE=64", "MAX_SAMPLE=64",
+                "ORACLE_SKIP_PHOTONMAP"),
+               "scene.xml", "proj11",
+               {"min_samples": 64, "max_samples": 64,
+                "bounces": 6, "gi_mode": "none",
+                "hemisphere_samples": 0,
+                "light_average": False,
+                "shadow_min": 4, "shadow_max": 4,
+                "split_mode": "both"}),
+    # Proj7: deterministic 1 spp (pixel centers, no AA, no RNG).
+    "prj7c": ("RayTracingProj7", (), "scene.xml", "proj5", {}),
+}
+
+
+def oracle_render(project: str, defines, scene: str) -> str:
+    """Build + run the oracle (cached by output file)."""
+    binary = build(project, tuple(defines))
+    wd = os.path.dirname(binary)
+    out = os.path.join(wd, f"oracle_{os.path.basename(scene)}.png")
+    if not os.path.exists(out):
+        print(f"[oracle_golden] rendering {project} {scene} "
+              f"(single-core C++: may take many minutes)", file=sys.stderr)
+        subprocess.run([binary, scene, out], cwd=wd, check=True)
+    return out
+
+
+def run(name: str) -> float:
+    from rtf_tpu.render.config import PROFILES
+    from rtf_tpu.render.renderer import render
+    from rtf_tpu.scene import build_scene, load_scene
+    from rtf_tpu.utils.image import rmse
+    from rtf_tpu.utils.png import read_png, write_png
+
+    project, defines, scene_file, profile, over = CASES[name]
+    oracle_png = oracle_render(project, defines, scene_file)
+    golden = read_png(oracle_png)
+
+    xml = os.path.join(os.path.dirname(oracle_png), scene_file)
+    h, w = golden.shape[:2]
+    desc = load_scene(xml)
+    desc.camera.width, desc.camera.height = w, h
+    scene = build_scene(desc)
+    cfg = PROFILES[profile]
+    if over:
+        cfg = dataclasses.replace(cfg, **over)
+    res = render(scene, cfg)
+    out = f"/tmp/oracle_golden_{name}.png"
+    write_png(out, res.image)
+    err = rmse(res.image, golden[:, :, :3])
+    print(f"{name}: RMSE {err:.5f} vs converged oracle {oracle_png}"
+          f"  (ours: {out})")
+    return err
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(CASES)
+    for n in names:
+        try:
+            run(n)
+        except Exception as e:
+            print(f"{n}: FAILED {type(e).__name__}: {e}")
