@@ -205,6 +205,18 @@ def cmd_watch(args):
             print(f"no usable state at {state_path}; starting fresh")
 
     t0 = time.time()
+    if done == 0 and not args.no_preview:
+        # flat-shaded scene preview written immediately — the analog of
+        # the GL pre-render view (viewport.cpp:93-268): the user sees
+        # the scene while pass 1 compiles
+        from rtf_tpu.render.renderer import preview
+        write_png(args.out, preview(scene).image)
+        print(f"[preview] {args.out} (flat-shaded scene view)",
+              flush=True)
+
+    def _progress(done_w, total_w):
+        print(f"\r  pass wave {done_w}/{total_w}", end="", flush=True)
+
     pass_spp = 1
     try:
         while done < target:
@@ -216,7 +228,10 @@ def cmd_watch(args):
             # the same offsets (index 0 every pass) and never converge
             r, hcount, zp, nsp = render_device_host(
                 scene, cfg_p, jax.random.PRNGKey(args.seed + pass_ix),
-                sample_base=done)
+                sample_base=done,
+                progress_cb=None if args.no_progress else _progress)
+            if not args.no_progress:
+                print("", flush=True)
             rad = rad + r
             hits = hits + hcount
             z = jnp.minimum(z, zp)
@@ -242,6 +257,19 @@ def cmd_watch(args):
             pass_spp *= 2
     except KeyboardInterrupt:
         print("\nstopped (StopRender)")
+    return 0
+
+
+def cmd_preview(args):
+    """Standalone flat-shaded scene preview — the GL pre-render
+    scene-graph view (ShowViewport, viewport.cpp:93-268) as a PNG."""
+    from rtf_tpu.render.renderer import preview
+    from rtf_tpu.utils.png import write_png
+
+    scene = _load(args.scene, args.width, args.height)
+    res = preview(scene)
+    write_png(args.out, res.image)
+    print(f"wrote {args.out} ({scene.width}x{scene.height})")
     return 0
 
 
@@ -317,7 +345,22 @@ def main(argv=None):
                         "from them (render-resume; the reference only "
                         "checkpoints the photon pass)")
     w.add_argument("--state", help="explicit state .npz path")
+    w.add_argument("--no-preview", action="store_true",
+                   help="skip the instant flat-shaded scene preview "
+                        "written before pass 1")
+    w.add_argument("--no-progress", action="store_true",
+                   help="disable the intra-pass wave progress line "
+                        "(progress fences each dispatch batch, trading "
+                        "a little pipelining)")
     w.set_defaults(fn=cmd_watch)
+
+    pv = sub.add_parser("preview", help="flat-shaded scene preview "
+                        "(GL pre-render view analog)")
+    pv.add_argument("scene")
+    pv.add_argument("--out", default="preview.png")
+    pv.add_argument("--width", type=int)
+    pv.add_argument("--height", type=int)
+    pv.set_defaults(fn=cmd_preview)
 
     pb = sub.add_parser("probe", help="print color/z/samples at a pixel")
     pb.add_argument("scene")

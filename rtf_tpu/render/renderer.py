@@ -325,7 +325,8 @@ def render_device(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
 
 
 def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
-                       caustic_grid=None, sample_base: int = 0) -> tuple:
+                       caustic_grid=None, sample_base: int = 0,
+                       progress_cb=None) -> tuple:
     """Host-driven wave loop: ONE small compiled program (`_wave_step`)
     reused for every sample index and both adaptive phases, with the
     accumulator carry donated in place on device.
@@ -333,7 +334,14 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
     This replaces the reference's thread pool (main.cpp:984-998) AND the
     monolithic lax.scan megaprogram: compile cost is one wave regardless
     of spp, waves pipeline through the async dispatch queue, and spp can
-    change without recompiling."""
+    change without recompiling.
+
+    progress_cb(done_waves, total_waves): intra-frame progress — the
+    analog of the viewport's atomic numRenderedPixels bar
+    (viewport.cpp:308-336).  Called after every dispatch batch; each
+    call fences the batch with a tiny device->host fetch (async
+    pipelining is traded for honest progress), so leave it None on
+    throughput-critical paths."""
     num_px = scene.width * scene.height
     k1, k2 = jax.random.split(key)
     carry = (jnp.zeros((3, num_px), jnp.float32),
@@ -400,6 +408,18 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
     # tolerance (observed worker crashes)
     STEP = 32 if (cfg.gi_mode == "none" or fused_consts is not None) else 1
 
+    # progress plumbing: total = all waves both phases would dispatch
+    # (phase 2 may cover fewer pixels, but wave count is the unit here)
+    _prog = {"done": 0, "total": _phase_bounds(cfg)[-1]}
+
+    def _tick(carry, n_waves):
+        if progress_cb is None:
+            return
+        import numpy as _nnp
+        _nnp.asarray(carry[2][:1])   # tiny fence: dispatch has finished
+        _prog["done"] += n_waves
+        progress_cb(_prog["done"], _prog["total"])
+
     gi_host = (fused_consts is not None
                and ((cfg.gi_mode != "none" and cfg.hemisphere_samples > 0)
                     or caustic_vol is not None))
@@ -426,6 +446,7 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
                         fused_mode=fused_mode)
                     i0 += nc
                 carry = _gi_fold(carry, contrib, hitl, zl)
+                _tick(carry, 1)
             return carry
     else:
         def run(carry, mask, kphase, lo, hi):
@@ -441,6 +462,7 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
                                    caustic_grid=caustic_grid,
                                    fused_mode=fused_mode)
                 j += k
+                _tick(carry, k)
             return carry
 
     # sample_base offsets the Halton subpixel index stream so a caller
@@ -521,6 +543,49 @@ def render(scene, cfg: RenderConfig = RenderConfig(), seed: int = None,
     rad, hits, z, ns = render_device_host(scene, cfg, key, gi_grid=gi_grid,
                                           caustic_grid=caustic_grid)
     return finalize(scene, cfg, rad, hits, z, ns)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _preview_device(scene):
+    """One trace + flat shading: material base color x headlight
+    N.V term, no shadows / bounces / textures."""
+    from rtf_tpu.ops.texture import _sel_rows, sample_background
+    from rtf_tpu.ops.trace import resolve_surface, trace
+    from rtf_tpu.render.camera import primary_rays
+    w, h = scene.width, scene.height
+    num_px = w * h
+    px, py = pixel_grid(w, h)
+    o, d = primary_rays(scene, px, py, jnp.zeros((num_px,), jnp.int32))
+    hit = trace(scene, o, d)
+    surf = resolve_surface(scene, o, d, hit)
+    kd = _sel_rows(scene.materials.diffuse, surf.mtl)
+    ndv = jnp.abs(jnp.sum(surf.n * (-d), axis=-1))[:, None]
+    col = kd * (0.25 + 0.75 * ndv)
+    uvw = jnp.stack([px.astype(jnp.float32) / w,
+                     py.astype(jnp.float32) / h,
+                     jnp.zeros((num_px,), jnp.float32)], axis=-1)
+    bg = sample_background(scene, uvw)
+    col = jnp.where(surf.valid[:, None], col, bg)
+    img8 = jnp.clip(jnp.floor(col * 255.0), 0, 255).astype(jnp.uint8)
+    return img8, jnp.where(surf.valid, surf.t, BIGFLOAT)
+
+
+def preview(scene) -> RenderResult:
+    """Fast flat-shaded scene preview — the analog of the reference's
+    GL-rasterized pre-render view (ShowViewport scene-graph display,
+    viewport.cpp:93-268, GL lights/materials :538-677): one trace per
+    pixel, material base colors with a headlight term, background on
+    miss.  No shadow/secondary rays, so it returns in a single small
+    dispatch — what the user looks at while the real render compiles."""
+    w, h = scene.width, scene.height
+    img8, z = _preview_device(scene)
+    return RenderResult(
+        image=np.asarray(img8).reshape(h, w, 3),
+        radiance=np.asarray(img8).reshape(h, w, 3).astype(np.float32)
+        / 255.0,
+        z=np.asarray(z).reshape(h, w),
+        sample_count=np.ones((h, w), np.int32),
+    )
 
 
 def prepare_photon_grid(scene, cfg: RenderConfig, key):

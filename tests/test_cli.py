@@ -64,3 +64,39 @@ def test_cli_watch_resume(tmp_path):
     assert rc == 0
     st = np.load(state)
     assert int(st["done"]) == 4
+
+
+def test_cli_preview(tmp_path):
+    """Flat-shaded scene preview (GL pre-render view analog)."""
+    from rtf_tpu.cli import main
+    out = tmp_path / "p.png"
+    rc = main(["preview", SCENE, "--width", "64", "--height", "48",
+               "--out", str(out)])
+    assert rc == 0 and out.exists()
+    from rtf_tpu.utils.png import read_png
+    img = read_png(str(out))
+    assert img.shape[:2] == (48, 64)
+    # scene content present: not a constant image
+    assert img.std() > 0.01
+
+
+def test_progress_callback_counts_waves():
+    """render_device_host fires progress_cb after every dispatch batch
+    and the final count equals the waves actually dispatched."""
+    import jax
+    from rtf_tpu.render.config import RenderConfig
+    from rtf_tpu.render.renderer import render_device_host
+    from rtf_tpu.scene import build_scene, load_scene
+
+    desc = load_scene(SCENE)
+    desc.camera.width, desc.camera.height = 32, 24
+    scene = build_scene(desc)
+    cfg = RenderConfig(min_samples=2, max_samples=2, bounces=1,
+                       shadow_min=1, shadow_max=1, gi_mode="none")
+    calls = []
+    render_device_host(scene, cfg, jax.random.PRNGKey(0),
+                       progress_cb=lambda d, t: calls.append((d, t)))
+    assert calls, "progress_cb never fired"
+    done, total = calls[-1]
+    assert done == total == 2
+    assert [c[0] for c in calls] == sorted(c[0] for c in calls)

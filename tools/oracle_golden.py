@@ -19,6 +19,12 @@ import os
 import subprocess
 import sys
 
+if os.environ.get("RTF_ORACLE_TPU", "0") != "1":
+    # fidelity tool -> CPU by default: deterministic, no TPU fast-math
+    # div/sqrt approximation in the geometry (ops/intersect.py notes),
+    # and immune to tunneled-worker crashes.  Must precede any jax use.
+    import tools.cpu  # noqa: F401
+
 from tools.oracle.build import build
 
 # case -> (project, defines, scene file, our profile, overrides)
