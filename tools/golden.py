@@ -36,6 +36,15 @@ CASES = {
     "prj8": (f"{REF}/RayTracingProj8/RayTracingProj8/scene.xml",
              f"{REF}/RayTracingProj8/RayTracingProj8/prj8_16sample.png",
              "proj8", {"split_mode": "rr"}),
+    # Proj10: soft shadows (size-5 point light, adaptive disk samples)
+    # + glossy reflections (normal perturbation) — stochastic, loose;
+    # runs on the segmented kernel path (glossy kernelized round 2)
+    # (prj10input.png is the pre-feature INPUT render — black spheres,
+    # hard shadows; the actual golden is the jpg)
+    "prj10": (f"{REF}/RayTracingProj10/RayTracingProj10/scene.xml",
+              f"{REF}/RayTracingProj10/prj10.jpg",
+              "proj10", {"min_samples": 16, "max_samples": 16,
+                         "split_mode": "rr"}),
     # Proj9: depth of field (64 random lens samples — different RNG)
     "prj9": (f"{REF}/RayTracingProj9/RayTracingProj9/scene9.xml",
              f"{REF}/RayTracingProj9/RayTracingProj9/prj9.png",
@@ -69,7 +78,12 @@ def run(name):
     xml, golden_png, profile, over = CASES[name]
     over = dict(over)
     aov = over.pop("__aov__", "beauty")
-    golden = read_png(golden_png)
+    if golden_png.endswith(".jpg"):
+        import numpy as np
+        from PIL import Image
+        golden = np.asarray(Image.open(golden_png).convert("RGB"))
+    else:
+        golden = read_png(golden_png)
     h, w = golden.shape[:2]
     desc = load_scene(xml)
     desc.camera.width, desc.camera.height = w, h

@@ -30,6 +30,19 @@
 // viewport_stubs.cpp (the stub set differs between eras).
 void ShowViewport() {}
 
+// The sample-count AOV only exists from Proj8 on; SFINAE-dispatch so
+// earlier-era RenderImage classes (e.g. Proj7) still compile.
+template <class T>
+auto SaveSampleCount(T &img, const char *path, int)
+    -> decltype(img.ComputeSampleCountImage(), void()) {
+  img.ComputeSampleCountImage();
+  img.SaveSampleCountImage(path);
+}
+template <class T>
+void SaveSampleCount(T &, const char *, long) {
+  std::fprintf(stderr, "[oracle] no sample-count AOV in this era\n");
+}
+
 int main(int argc, char **argv) {
   if (argc < 3) {
     std::fprintf(stderr, "usage: %s scene.xml out.png [z.png [sc.png]]\n",
@@ -53,8 +66,7 @@ int main(int argc, char **argv) {
     renderImage.SaveZImage(argv[3]);
   }
   if (argc > 4) {
-    renderImage.ComputeSampleCountImage();
-    renderImage.SaveSampleCountImage(argv[4]);
+    SaveSampleCount(renderImage, argv[4], 0);
   }
   return 0;
 }
