@@ -53,8 +53,23 @@ int main(int argc, char **argv) {
   LoadScene(argv[1]);
   auto t0 = std::chrono::steady_clock::now();
   BeginRender();  // joins (Proj<=8 era) or detaches (Final era)
+  // Poll for completion, with a stall guard: if the atomic pixel
+  // counter stops advancing for 120 s, the detached workers are done
+  // but some pixels never incremented it (e.g. debug skips in the
+  // committed loops) — save what we have instead of hanging forever.
+  int last = -1, stall_ms = 0;
   while (!renderImage.IsRenderDone()) {
     std::this_thread::sleep_for(std::chrono::milliseconds(50));
+    int now = renderImage.GetNumRenderedPixels();
+    stall_ms = (now == last) ? stall_ms + 50 : 0;
+    last = now;
+    if (stall_ms >= 120000) {
+      std::fprintf(stderr,
+                   "[oracle] WARNING: render stalled at %d/%d pixels; "
+                   "saving partial frame\n", last,
+                   renderImage.GetWidth() * renderImage.GetHeight());
+      break;
+    }
   }
   auto dt = std::chrono::duration<double>(std::chrono::steady_clock::now() -
                                           t0).count();
