@@ -147,12 +147,22 @@ def sample_textured_color(scene, color, tm_id: jnp.ndarray, uvw: jnp.ndarray,
     return jnp.asarray(color) * tex
 
 
-def env_uvw(direction: jnp.ndarray) -> jnp.ndarray:
-    """Angular-map uv for environment sampling (scene.h:426-432)."""
+def env_uvw(direction: jnp.ndarray, l2: bool = False) -> jnp.ndarray:
+    """Angular-map uv for environment sampling (scene.h:426-432).
+
+    The xy-projection normalization is an ERA quirk: Proj7's scene.h
+    divides by the Euclidean norm sqrt(x^2+y^2)+1e-10 (Proj7
+    scene.h:461-463); Proj8 through Final divide by the L1 norm
+    |x|+|y| (Final scene.h:428-430).  `l2=True` selects the Proj7
+    behavior (cfg.env_l2)."""
     d = direction
     z = jnp.arcsin(jnp.clip(-d[..., 2], -1.0, 1.0)) / jnp.pi + 0.5
-    denom = jnp.abs(d[..., 0]) + jnp.abs(d[..., 1])
-    denom = jnp.where(denom == 0, 1e-30, denom)
+    if l2:
+        denom = jnp.sqrt(d[..., 0] * d[..., 0]
+                         + d[..., 1] * d[..., 1]) + 1e-10
+    else:
+        denom = jnp.abs(d[..., 0]) + jnp.abs(d[..., 1])
+        denom = jnp.where(denom == 0, 1e-30, denom)
     x = d[..., 0] / denom
     y = d[..., 1] / denom
     u = 0.5 + z * 0.5 * (x - y)
@@ -160,12 +170,13 @@ def env_uvw(direction: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([u, v, jnp.zeros_like(u)], axis=-1)
 
 
-def sample_environment(scene, direction: jnp.ndarray) -> jnp.ndarray:
+def sample_environment(scene, direction: jnp.ndarray,
+                       l2: bool = False) -> jnp.ndarray:
     """environment.SampleEnvironment(dir) with scene.env color & map."""
     n = direction.shape[0]
     if scene.env_tm < 0:     # static: no map -> plain color, no sampling
         return jnp.broadcast_to(scene.env_color, (n, 3))
-    uvw = env_uvw(direction)
+    uvw = env_uvw(direction, l2=l2)
     tm = jnp.full((n,), scene.env_tm, jnp.int32)
     return sample_textured_color(scene, scene.env_color, tm, uvw)
 
@@ -253,11 +264,15 @@ def sample_texmap_ch(scene, tm_id, u, v):
     return tuple(jnp.where(no_map, 1.0, c) for c in cols)
 
 
-def env_uv_ch(dx, dy, dz):
-    """Channelwise env_uvw (angular map, scene.h:426-432)."""
+def env_uv_ch(dx, dy, dz, l2=False):
+    """Channelwise env_uvw (angular map, scene.h:426-432; `l2` selects
+    the Proj7-era Euclidean xy normalization — see env_uvw)."""
     z = jnp.arcsin(jnp.clip(-dz, -1.0, 1.0)) / jnp.pi + 0.5
-    denom = jnp.abs(dx) + jnp.abs(dy)
-    denom = jnp.where(denom == 0, 1e-30, denom)
+    if l2:
+        denom = jnp.sqrt(dx * dx + dy * dy) + 1e-10
+    else:
+        denom = jnp.abs(dx) + jnp.abs(dy)
+        denom = jnp.where(denom == 0, 1e-30, denom)
     x = dx / denom
     y = dy / denom
     return 0.5 + z * 0.5 * (x - y), 0.5 + z * 0.5 * (x + y)

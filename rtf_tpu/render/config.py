@@ -66,6 +66,10 @@ class RenderConfig:
     # environment sampled on reflection-ray miss too (Proj8-era Shade,
     # RayTracingProj8 main.cpp:382-384); Final restricts it to refraction
     env_on_reflect_miss: bool = False
+    # angular-map xy normalization era quirk: Proj7's SampleEnvironment
+    # uses the Euclidean norm (Proj7 scene.h:461-463), Proj8+ the L1
+    # norm |x|+|y| (Final scene.h:428-430)
+    env_l2: bool = False
 
     # ---- output
     gamma: float = 2.2              # 0/None disables (pre-proj11 projects)
@@ -103,6 +107,13 @@ PROFILES = {
                           light_average=False, inverse_square=False,
                           shadow_min=1, shadow_max=1, gamma=0.0,
                           env_on_reflect_miss=True),
+    # Proj7: textures, 1 spp, no AA; its SampleEnvironment normalizes
+    # the xy projection with the Euclidean norm (scene.h:461-463) —
+    # the only era that does
+    "proj7": RenderConfig(min_samples=1, max_samples=1, bounces=5,
+                          light_average=False, inverse_square=False,
+                          shadow_min=1, shadow_max=1, gamma=0.0,
+                          env_on_reflect_miss=True, env_l2=True),
     # Proj8: adaptive AA 4..64 (4 -> 16 -> 64 ladder, `s_end *= 4`)
     "proj8": RenderConfig(min_samples=4, max_samples=64, bounces=5,
                           adaptive_factor=4,

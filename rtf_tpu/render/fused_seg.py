@@ -238,14 +238,14 @@ def _seg_texture(scene, mtl, u, v):
     return out[0], out[1]
 
 
-def _seg_env(scene, dx, dy, dz):
+def _seg_env(scene, dx, dy, dz, l2=False):
     """Environment radiance per lane (SampleEnvironment,
     scene.h:426-432); solid env colors come back as python floats so the
     kernel sees constants."""
     if scene.env_tm < 0:
         return None   # caller uses constant env rows
     from rtf_tpu.ops.texture import env_uv_ch, sample_texmap_ch
-    u, v = env_uv_ch(dx, dy, dz)
+    u, v = env_uv_ch(dx, dy, dz, l2=l2)
     tm = jnp.full(dx.shape, scene.env_tm, jnp.int32)
     tex = sample_texmap_ch(scene, tm, u, v)
     ec = scene.env_color
@@ -340,11 +340,7 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
 
     env_const = tuple(float(x) for x in np.asarray(consts["env"]))
 
-    racc = [jnp.zeros((n,), jnp.float32) for _ in range(3)]
-    hit0 = z0 = None
-    surf0 = None
-    queries = []
-    for b in range(nb + 1):
+    def bounce_body(rays, b):
         hit = pl.pallas_call(
             hit_kern, grid=(nblk,),
             out_shape=out_struct(
@@ -361,7 +357,7 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
         v_l = row(hit, 7)
         kd3, ks3 = _seg_texture(scene, mtl_l, u_l, v_l)
         env3 = _seg_env(scene, row(rays, R_D), row(rays, R_D + 1),
-                        row(rays, R_D + 2))
+                        row(rays, R_D + 2), l2=cfg.env_l2)
         if env3 is None:
             env3 = tuple(jnp.full((n,), env_const[c], jnp.float32)
                          for c in range(3))
@@ -370,7 +366,7 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
              for x in (list(kd3) + list(ks3) + list(env3))], axis=1)
 
         seeds = jnp.full((1, 1), seed + b * 101, jnp.int32)
-        out = pl.pallas_call(
+        return pl.pallas_call(
             shade_kern, grid=(nblk,),
             out_shape=out_struct(
                 (nblk, n_out, SUB, TRI_LANES), jnp.float32,
@@ -382,6 +378,33 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
             compiler_params=cparams,
             interpret=interpret,
         )(seeds, rays, hit, tex, *mesh_args)
+
+    def bounce_dead(rays):
+        # what the kernels emit for an all-dead wave (both kernels'
+        # ~any_alive branch): zero radiance/hit/gi rows, z=BIG,
+        # next-ray origin=SENTINEL / dir.x=1 / alive=0
+        z = jnp.zeros((nblk, n_out, SUB, TRI_LANES), jnp.float32)
+        z = z.at[:, 4].set(BIG)
+        for c in range(3):
+            z = z.at[:, 5 + R_O + c].set(SENTINEL)
+        return z.at[:, 5 + R_D].set(1.0)
+
+    racc = [jnp.zeros((n,), jnp.float32) for _ in range(3)]
+    hit0 = z0 = None
+    surf0 = None
+    queries = []
+    for b in range(nb + 1):
+        if b == 0:
+            out = bounce_body(rays, b)
+        else:
+            # device-side early exit: hemisphere-GI child waves in
+            # mostly-diffuse scenes are all-dead after 1-2 bounces, and
+            # without this every remaining bounce still paid both
+            # kernels + the full-size texture gather segment
+            any_alive = jnp.max(rays[:, R_ALIVE]) > 0.0
+            out = jax.lax.cond(any_alive,
+                               functools.partial(bounce_body, b=b),
+                               bounce_dead, rays)
 
         for c in range(3):
             racc[c] = racc[c] + row(out, c)

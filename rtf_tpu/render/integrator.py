@@ -170,7 +170,7 @@ def shade_lanes(scene, cfg, o, d, tput, absorb, pixel, alive, rtype,
     if cfg.env_on_reflect_miss:
         env_ok = env_ok | (rtype == RT_REFLECT)
     env_mask = alive & ~surf.valid & env_ok
-    env = sample_environment(scene, d)
+    env = sample_environment(scene, d, l2=cfg.env_l2)
     radiance = radiance + jnp.where(env_mask[:, None], tput * env, 0.0)
 
     # children

@@ -108,3 +108,39 @@ def test_png_decode_reference_texture():
     assert img.ndim == 3 and img.shape[2] in (3, 4)
     assert img.shape[0] > 4 and img.shape[1] > 4
     assert img.max() > 32  # actually decoded something
+
+
+def test_env_uvw_matches_reference_formula():
+    """Angular map (scene.h:426-432): z*(x,y)/norm(x,y) rotated 45deg.
+
+    Era quirk (round-2 fidelity find): Proj7's SampleEnvironment
+    normalizes the xy projection with the EUCLIDEAN norm
+    sqrt(x^2+y^2)+1e-10 (Proj7 scene.h:461-463); Proj8 through Final
+    use the L1 norm |x|+|y| (Final scene.h:428-430).  Both are
+    exposed via the l2 flag (cfg.env_l2)."""
+    import math
+
+    from rtf_tpu.ops.texture import env_uv_ch, env_uvw
+
+    rng = np.random.default_rng(7)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    for l2 in (False, True):
+        got = np.asarray(env_uvw(jnp.asarray(d), l2=l2))
+        gu, gv = env_uv_ch(jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]),
+                           jnp.asarray(d[:, 2]), l2=l2)
+        for i in range(d.shape[0]):
+            x0, y0, z0 = (float(v) for v in d[i])
+            z = math.asin(max(-1.0, min(1.0, -z0))) / math.pi + 0.5
+            if l2:
+                den = math.sqrt(x0 * x0 + y0 * y0) + 1e-10
+            else:
+                den = abs(x0) + abs(y0)
+            x, y = x0 / den, y0 / den
+            u_ref = 0.5 + z * (x * 0.5 - y * 0.5)
+            v_ref = 0.5 + z * (x * 0.5 + y * 0.5)
+            assert abs(got[i, 0] - u_ref) < 1e-5
+            assert abs(got[i, 1] - v_ref) < 1e-5
+            assert abs(float(gu[i]) - u_ref) < 1e-5
+            assert abs(float(gv[i]) - v_ref) < 1e-5

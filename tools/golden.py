@@ -30,7 +30,7 @@ CASES = {
     # Proj7: + textures (file + checker), still deterministic
     "prj7": (f"{REF}/RayTracingProj7/RayTracingProj7/scene.xml",
              f"{REF}/RayTracingProj7/RayTracingProj7/prj7.png",
-             "proj5", {}),
+             "proj7", {}),
     # Proj8: adaptive AA (Halton subpixels deterministic, but sample
     # escalation differs) — loose
     "prj8": (f"{REF}/RayTracingProj8/RayTracingProj8/scene.xml",

@@ -51,7 +51,9 @@ CASES = {
                 "shadow_min": 4, "shadow_max": 4,
                 "split_mode": "both"}),
     # Proj7: deterministic 1 spp (pixel centers, no AA, no RNG).
-    "prj7c": ("RayTracingProj7", (), "scene.xml", "proj5", {}),
+    # proj7 profile: Proj7's SampleEnvironment is the one era with
+    # Euclidean xy normalization (env_l2).
+    "prj7c": ("RayTracingProj7", (), "scene.xml", "proj7", {}),
 }
 
 
