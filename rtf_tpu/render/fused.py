@@ -700,6 +700,36 @@ def _aabb_overlap_smem(aabb_ref, j, rlo, rhi):
             & (rhi[2] >= aabb_ref[j, 2]) & (rlo[2] <= aabb_ref[j, 5]))
 
 
+def _inv_dir(ld3):
+    """Safe per-lane 1/d for slab tests: zero components become a huge
+    signed finite (so 0*(box-o) stays 0, never inf*0=NaN)."""
+    return tuple(
+        jnp.where(jnp.abs(ld3[a]) < 1e-30,
+                  jnp.where(ld3[a] < 0.0, -1e30, 1e30),
+                  1.0 / ld3[a])
+        for a in range(3))
+
+
+def _lane_slab_any(aabb_ref, j, lo3, ild3, t_max_lane):
+    """Per-lane slab test of ray segments [0, t_max_lane) against tile
+    j's AABB (SMEM scalars): True when ANY lane's segment enters the
+    box.  This is a vectorized one-level BVH step and is far tighter
+    than the whole-block reach box: a single miss lane (t=BIG) inflates
+    the reach box to the whole mesh, while here each lane carries its
+    own cap — sky blocks cull every tile, and tiles behind already-won
+    hits cull as st[0] shrinks front-to-back (ray parameter t is
+    preserved by the instance transform, so local slab t compares
+    directly with the winner t)."""
+    tmin = jnp.zeros_like(lo3[0])
+    tmax = t_max_lane
+    for a in range(3):
+        t0 = (aabb_ref[j, a] - lo3[a]) * ild3[a]
+        t1 = (aabb_ref[j, 3 + a] - lo3[a]) * ild3[a]
+        tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+        tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+    return jnp.max(jnp.where(tmax >= tmin, 1.0, 0.0)) > 0.0
+
+
 def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
                       mesh_refs, need_uv=False):
     """Closest mesh hit, large-mesh path: per tile, ONE [1024,16] x
@@ -728,14 +758,15 @@ def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
                                 o3[1] - inst["pos"][1],
                                 o3[2] - inst["pos"][2])
         ld3 = _mat3_apply_const(inst["itm"], d3[0], d3[1], d3[2])
-        rlo, rhi = _block_reach(lo3, ld3, t_cap_scalar,
-                                inst["mesh_lo"], inst["mesh_hi"])
+        ild3 = _inv_dir(ld3)
         rays16 = _rays16(lo3, ld3)
         nrm = inst["nrm"]
 
-        def tile(j, acc, rays16=rays16, nrm=nrm, rlo=rlo, rhi=rhi,
+        def tile(j, acc, rays16=rays16, nrm=nrm, lo3=lo3, ild3=ild3,
                  ld3=ld3):
-            @pl.when(_aabb_overlap_smem(aabb_ref, j, rlo, rhi))
+            # per-lane slab cull with the CURRENT winner distances as
+            # caps — tiles behind found hits drop out as st[0] shrinks
+            @pl.when(_lane_slab_any(aabb_ref, j, lo3, ild3, st[0]))
             def _():
                 if stream:
                     cp = pltpu.make_async_copy(trit_ref.at[j], trit_s,
@@ -824,13 +855,14 @@ def _mesh_anyhit_mxu(o3, d3, t_cap, consts, st, row, mesh_refs):
                                 o3[1] - inst["pos"][1],
                                 o3[2] - inst["pos"][2])
         ld3 = _mat3_apply_const(inst["itm"], d3[0], d3[1], d3[2])
-        rlo, rhi = _block_reach(lo3, ld3, jnp.max(t_cap),
-                                inst["mesh_lo"], inst["mesh_hi"])
+        ild3 = _inv_dir(ld3)
         rays16 = _rays16(lo3, ld3)
 
-        def tile(j, acc, rays16=rays16, rlo=rlo, rhi=rhi):
-            ov = _aabb_overlap_smem(aabb_ref, j, rlo, rhi)
-            ov &= jnp.min(st[row]) < 1.0   # all occluded -> done
+        def tile(j, acc, rays16=rays16, lo3=lo3, ild3=ild3):
+            # per-lane slab: each shadow ray's segment is [0, its own
+            # t_cap); already-occluded lanes carry an empty segment
+            cap = jnp.where(st[row] >= 1.0, 0.0, t_cap)
+            ov = _lane_slab_any(aabb_ref, j, lo3, ild3, cap)
 
             @pl.when(ov)
             def _():
