@@ -549,11 +549,15 @@ def _mesh_closest(o3, d3, consts, st, t_cap_scalar, mesh_refs=None,
                                 o3[1] - inst["pos"][1],
                                 o3[2] - inst["pos"][2])
         ld3 = _mat3_apply_const(inst["itm"], d3[0], d3[1], d3[2])
+        ild3 = _inv_dir(ld3)
         rlo, rhi = _block_reach(lo3, ld3, t_cap_scalar,
                                 inst["mesh_lo"], inst["mesh_hi"])
         nrm = inst["nrm"]
         for (tile_bb, tris) in inst["tiles"]:
-            tile_ov = _box_overlap(rlo, rhi, tile_bb[0:3], tile_bb[3:6])
+            # per-lane slab (winner t as cap) at tile level; the cheap
+            # scalar reach-box test stays for the per-triangle culls
+            tile_ov = _lane_slab_any_vals(tile_bb[0:3], tile_bb[3:6],
+                                          lo3, ild3, st[0])
 
             @pl.when(tile_ov)
             def _(tris=tris, lo3=lo3, ld3=ld3, rlo=rlo, rhi=rhi, nrm=nrm):
@@ -619,11 +623,15 @@ def _mesh_anyhit(o3, d3, t_cap, consts, st, row, mesh_refs=None):
                                 o3[1] - inst["pos"][1],
                                 o3[2] - inst["pos"][2])
         ld3 = _mat3_apply_const(inst["itm"], d3[0], d3[1], d3[2])
+        ild3 = _inv_dir(ld3)
         rlo, rhi = _block_reach(lo3, ld3, jnp.max(t_cap),
                                 inst["mesh_lo"], inst["mesh_hi"])
         for (tile_bb, tris) in inst["tiles"]:
-            tile_ov = _box_overlap(rlo, rhi, tile_bb[0:3], tile_bb[3:6])
-            tile_ov &= jnp.min(st[row]) < 1.0   # all occluded -> done
+            # per-lane slab with per-ray shadow caps; occluded lanes
+            # carry an empty segment
+            cap = jnp.where(st[row] >= 1.0, 0.0, t_cap)
+            tile_ov = _lane_slab_any_vals(tile_bb[0:3], tile_bb[3:6],
+                                          lo3, ild3, cap)
 
             @pl.when(tile_ov)
             def _(tris=tris, lo3=lo3, ld3=ld3, rlo=rlo, rhi=rhi):
@@ -710,9 +718,9 @@ def _inv_dir(ld3):
         for a in range(3))
 
 
-def _lane_slab_any(aabb_ref, j, lo3, ild3, t_max_lane):
-    """Per-lane slab test of ray segments [0, t_max_lane) against tile
-    j's AABB (SMEM scalars): True when ANY lane's segment enters the
+def _lane_slab_any_vals(blo, bhi, lo3, ild3, t_max_lane):
+    """Per-lane slab test of ray segments [0, t_max_lane) against an
+    AABB given as 3+3 scalars: True when ANY lane's segment enters the
     box.  This is a vectorized one-level BVH step and is far tighter
     than the whole-block reach box: a single miss lane (t=BIG) inflates
     the reach box to the whole mesh, while here each lane carries its
@@ -723,11 +731,19 @@ def _lane_slab_any(aabb_ref, j, lo3, ild3, t_max_lane):
     tmin = jnp.zeros_like(lo3[0])
     tmax = t_max_lane
     for a in range(3):
-        t0 = (aabb_ref[j, a] - lo3[a]) * ild3[a]
-        t1 = (aabb_ref[j, 3 + a] - lo3[a]) * ild3[a]
+        t0 = (blo[a] - lo3[a]) * ild3[a]
+        t1 = (bhi[a] - lo3[a]) * ild3[a]
         tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
         tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
     return jnp.max(jnp.where(tmax >= tmin, 1.0, 0.0)) > 0.0
+
+
+def _lane_slab_any(aabb_ref, j, lo3, ild3, t_max_lane):
+    """_lane_slab_any_vals with the tile AABB read as SMEM scalars."""
+    return _lane_slab_any_vals(
+        (aabb_ref[j, 0], aabb_ref[j, 1], aabb_ref[j, 2]),
+        (aabb_ref[j, 3], aabb_ref[j, 4], aabb_ref[j, 5]),
+        lo3, ild3, t_max_lane)
 
 
 def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
