@@ -382,8 +382,8 @@ def _scene_fuse_info(scene):
                 break
     if why is None:
         # kd/ks maps fuse IF every referenced texture is a checker
-        # (pure math in-kernel) AND no mesh material is textured (mesh
-        # uv interpolation is not in the kernel yet)
+        # (pure math in-kernel; applies to mesh materials too — both
+        # mesh paths interpolate per-face vertex uv via need_uv)
         d_tm = np.asarray(mt.diffuse_tm)
         s_tm = np.asarray(mt.specular_tm)
         tex_ids = [int(t) for t in np.concatenate([d_tm, s_tm]) if t >= 0]
@@ -396,18 +396,6 @@ def _scene_fuse_info(scene):
                     why = ("file texture on kd/ks "
                            "(use the segmented path)")
                     break
-            if why is None:
-                tex_mtls = {i for i in range(d_tm.shape[0])
-                            if d_tm[i] >= 0 or s_tm[i] >= 0}
-                mesh_mtls = set()
-                if scene.mesh is not None and scene.num_mesh_inst > 0:
-                    mesh_mtls |= {int(m) for m in np.unique(
-                        np.asarray(scene.mesh.tri_mtl))}
-                    mesh_mtls |= {int(m) for m in np.asarray(
-                        scene.mesh_inst.mtl)[:scene.num_mesh_inst]}
-                if tex_mtls & mesh_mtls:
-                    why = ("textured mesh material "
-                           "(use the segmented path)")
     if why is None and sum(1 for kk in scene.light_kinds
                            if kk != "ambient") > 2:
         why = "more than 2 non-ambient lights"
@@ -910,8 +898,8 @@ def _primitive_phase(o3, d3, t, n3, mtl, front, consts, need_uv=False):
 
     need_uv: also track the winner's texture uv (sphere spherical uv,
     objects.h:46-51; plane planar uv) for in-kernel checker sampling.
-    Mesh-won lanes keep a stale primitive uv — harmless, because
-    fusable() guarantees mesh materials are untextured."""
+    Mesh-won lanes overwrite st[6]/st[7] with the interpolated vertex
+    uv in _mesh_closest / _mesh_closest_mxu."""
     ox, oy, oz = o3
     dx, dy, dz = d3
     nx, ny, nz = n3

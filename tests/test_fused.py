@@ -359,3 +359,55 @@ def test_fused_caustic_volume_term():
     mc = float(sum(np.asarray(c).mean() for c in with_c))
     assert np.isfinite(mc)
     assert mc > mb     # caustic photons add energy
+
+
+def test_fused_checker_on_mesh_matches_xla():
+    """Checker on a MESH material: the kernels interpolate per-face
+    vertex uv (immediates rows 21-29 / MXU shade cols 13-18), so the
+    round-1 'textured mesh material' mono gate was stale — removed in
+    round 2.  Parity vs the XLA texture path at bounces=0."""
+    import numpy as _np
+    from rtf_tpu.scene.model import (
+        TexMapDesc, TextureDesc, TexturedColorDesc,
+    )
+    from rtf_tpu.scene.procedural import box_scene
+    desc = box_scene(width=32, height=24, with_mesh=True, mesh_subdiv=1)
+    mesh = desc.root.children[-1].mesh
+    # spherical per-vertex texcoords (the icosphere has none)
+    v = mesh.v
+    u = 0.5 + _np.arctan2(v[:, 1], v[:, 0]) / (2 * _np.pi)
+    vv = 0.5 + _np.arcsin(_np.clip(v[:, 2], -1, 1)) / _np.pi
+    mesh.vt = _np.stack([u, vv, _np.zeros_like(u)], 1).astype(_np.float32)
+    mesh.ft = mesh.f.copy()
+    chk = TextureDesc(kind="checker", name="chk",
+                      color1=_np.array([0.15, 0.1, 0.1]),
+                      color2=_np.array([0.9, 0.3, 0.2]))
+    m = desc.materials["redball"]
+    m.diffuse = TexturedColorDesc(m.diffuse.color, TexMapDesc(chk))
+    scene = build_scene(desc)
+    cfg = RenderConfig(min_samples=8, max_samples=8, bounces=0,
+                       shadow_min=1, shadow_max=1, gi_mode="none")
+    assert fusable(scene, cfg), "mesh checker must fuse (gate removed)"
+    consts = scene_consts(scene)
+
+    w, h = scene.width, scene.height
+    order = jnp.asarray(pixel_order(w, h))
+    px, py = order % w, order // w
+    key = jax.random.PRNGKey(0)
+    o, d = primary_rays(scene, px, py, jnp.zeros_like(px), key=key,
+                        halton_bases=(2, 3))
+    o3, d3 = primary_rays_ch(scene, px, py, jnp.zeros_like(px), key=key,
+                             halton_bases=(2, 3))
+    n = w * h
+    alive = jnp.ones((n,), bool)
+    rad3, hitl, zl = fused_wave(cfg, consts, o3, d3, alive, jnp.int32(1),
+                                bounces=0)
+    inv = jnp.asarray(pixel_order_inv(w, h))
+    out = I.render_wave(scene, cfg, o, d, order, alive, key, n,
+                        inv_pixel=inv)
+    inv_np = np.asarray(inv)
+    rad_f = np.stack([np.asarray(rad3[c])[inv_np] for c in range(3)], 1)
+    np.testing.assert_allclose(rad_f, np.asarray(out.radiance), atol=5e-4)
+    # the checker must actually modulate the ball: both colors visible
+    hit = np.asarray(hitl)[inv_np]
+    assert np.asarray(out.radiance)[hit].std() > 0.01
