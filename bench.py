@@ -14,6 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
+import tools.cache  # noqa: F401  (persistent XLA compile cache)
+
 WIDTH = int(os.environ.get("BENCH_WIDTH", 800))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 600))
 SPP = int(os.environ.get("BENCH_SPP", 64))
@@ -121,7 +123,7 @@ def main():
                 from tools.flagship import sceneb_frame_time
                 return sceneb_frame_time()
             sceneb_dt = _with_alarm(
-                int(os.environ.get("BENCH_SCENEB_CAP", 900)), run_sceneb)
+                int(os.environ.get("BENCH_SCENEB_CAP", 1500)), run_sceneb)
     except Exception:
         pass
 

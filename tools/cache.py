@@ -1,0 +1,17 @@
+"""Import side-effect module: enable the persistent XLA compile cache.
+
+tools/cpu.py already enables it for CPU debugging runs; this is the
+backend-agnostic variant for TPU entry points (bench.py, flagship,
+profilers) — without it every bench/flagship process pays the full
+multi-minute compile of the photon pass + wave kernels again, which is
+what starved the sceneb bench extra past its alarm cap."""
+import os
+
+import jax
+
+os.makedirs("/tmp/rtf_jax_cache", exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rtf_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass   # cache is an optimization; never fail an entry point over it

@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import tools.cache  # noqa: F401  (persistent XLA compile cache)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
