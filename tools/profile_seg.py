@@ -69,7 +69,7 @@ def main():
         return (one, one, one), (one * 0.5, one * 0.5, one * 0.5)
 
     fs._seg_texture = stub_tex
-    fs._seg_env = lambda scene, dx, dy, dz: None
+    fs._seg_env = lambda scene, dx, dy, dz, l2=False: None
     try:
         for nb in (0, 4):
             # nudge a cfg field: _wave_step caches on (cfg, consts), so
