@@ -717,13 +717,18 @@ def _lane_slab_any_vals(blo, bhi, lo3, ild3, t_max_lane):
     preserved by the instance transform, so local slab t compares
     directly with the winner t)."""
     tmin = jnp.zeros_like(lo3[0])
-    tmax = t_max_lane
+    tmax = jnp.full_like(lo3[0], BIG)
     for a in range(3):
         t0 = (blo[a] - lo3[a]) * ild3[a]
         t1 = (bhi[a] - lo3[a]) * ild3[a]
         tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
         tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
-    return jnp.max(jnp.where(tmax >= tmin, 1.0, 0.0)) > 0.0
+    # entry strictly under the cap: a hit inside the box has t >= tmin,
+    # and the winner test is strict (t < t_best) — so tmin == cap can
+    # never produce an accepted hit, and cap == 0 (occluded shadow
+    # lane) drops the lane even when its origin sits inside the box
+    hit = (tmax >= tmin) & (tmin < t_max_lane)
+    return jnp.max(jnp.where(hit, 1.0, 0.0)) > 0.0
 
 
 def _lane_slab_any(aabb_ref, j, lo3, ild3, t_max_lane):
