@@ -45,6 +45,20 @@ TEX_ROWS = 9    # kd rgb, ks rgb, env rgb
 OUT_ROWS = 21   # rad rgb, hit, z, next-ray state (16)
 
 
+def _dead_row_values(n_rows):
+    """{row: fill} of an all-dead wave's shade output — the single
+    source of truth shared by _seg_shade_kernel's ~any_alive branch and
+    the driver's bounce_dead lax.cond branch (which must stay
+    bit-identical): zero radiance/hit/gi rows, z=BIG, next-ray origin
+    SENTINEL / dir.x 1 / alive 0."""
+    vals = {r: 0.0 for r in range(n_rows)}
+    vals[4] = BIG
+    for c in range(3):
+        vals[5 + R_O + c] = SENTINEL
+    vals[5 + R_D] = 1.0
+    return vals
+
+
 # ---------------------------------------------------------------------------
 # gate
 
@@ -177,14 +191,8 @@ def _seg_shade_kernel(seed_ref, rays_ref, hit_ref, tex_ref, *refs,
 
     @pl.when(~any_alive)
     def _():
-        zero = jnp.zeros(shape, jnp.float32)
-        for r in range(n_rows):
-            out_ref[0, r] = jnp.full(shape, BIG, jnp.float32) if r == 4 \
-                else zero
-        out_ref[0, 5 + R_O] = jnp.full(shape, SENTINEL, jnp.float32)
-        out_ref[0, 5 + R_O + 1] = jnp.full(shape, SENTINEL, jnp.float32)
-        out_ref[0, 5 + R_O + 2] = jnp.full(shape, SENTINEL, jnp.float32)
-        out_ref[0, 5 + R_D] = jnp.ones(shape, jnp.float32)
+        for r, v in _dead_row_values(n_rows).items():
+            out_ref[0, r] = jnp.full(shape, v, jnp.float32)
 
     @pl.when(any_alive)
     def _():
@@ -380,14 +388,13 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
         )(seeds, rays, hit, tex, *mesh_args)
 
     def bounce_dead(rays):
-        # what the kernels emit for an all-dead wave (both kernels'
-        # ~any_alive branch): zero radiance/hit/gi rows, z=BIG,
-        # next-ray origin=SENTINEL / dir.x=1 / alive=0
+        # exactly what _seg_shade_kernel emits for an all-dead wave
+        # (shared recipe so the lax.cond branches stay interchangeable)
         z = jnp.zeros((nblk, n_out, SUB, TRI_LANES), jnp.float32)
-        z = z.at[:, 4].set(BIG)
-        for c in range(3):
-            z = z.at[:, 5 + R_O + c].set(SENTINEL)
-        return z.at[:, 5 + R_D].set(1.0)
+        for r, v in _dead_row_values(n_out).items():
+            if v != 0.0:
+                z = z.at[:, r].set(v)
+        return z
 
     racc = [jnp.zeros((n,), jnp.float32) for _ in range(3)]
     hit0 = z0 = None

@@ -408,6 +408,22 @@ def test_fused_checker_on_mesh_matches_xla():
     inv_np = np.asarray(inv)
     rad_f = np.stack([np.asarray(rad3[c])[inv_np] for c in range(3)], 1)
     np.testing.assert_allclose(rad_f, np.asarray(out.radiance), atol=5e-4)
-    # the checker must actually modulate the ball: both colors visible
-    hit = np.asarray(hitl)[inv_np]
-    assert np.asarray(out.radiance)[hit].std() > 0.01
+    # the checker must actually modulate the ball: against a plain-kd
+    # render of the same scene, a real fraction of pixels must change
+    # (std-over-all-hits would pass on wall gradients alone)
+    plain = box_scene(width=32, height=24, with_mesh=True, mesh_subdiv=1)
+    plain.root.children[-1].mesh.vt = desc.root.children[-1].mesh.vt
+    plain.root.children[-1].mesh.ft = desc.root.children[-1].mesh.ft
+    scene_p = build_scene(plain)
+    rad3p, _, _ = fused_wave(cfg, scene_consts(scene_p), o3, d3, alive,
+                             jnp.int32(1), bounces=0)
+    rad_p = np.stack([np.asarray(rad3p[c])[inv_np] for c in range(3)], 1)
+    changed = np.abs(rad_f - rad_p).max(-1) > 0.02
+    assert changed.sum() >= 2, "checker left the mesh unmodulated"
+    # BOTH checker colors must appear: r/g is shading-invariant and
+    # differs per cell (0.15/0.1=1.5 vs 0.9/0.3=3.0), so a constant-uv
+    # regression (single cell everywhere) collapses the spread
+    ratios = ((rad_f[changed, 0] + 1e-6)
+              / (rad_f[changed, 1] + 1e-6))
+    assert ratios.max() / ratios.min() > 1.3, \
+        "only one checker cell color visible on the mesh"

@@ -9,8 +9,8 @@ import os
 
 import jax
 
-os.makedirs("/tmp/rtf_jax_cache", exist_ok=True)
 try:
+    os.makedirs("/tmp/rtf_jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/rtf_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:

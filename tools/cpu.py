@@ -10,6 +10,4 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-os.makedirs("/tmp/rtf_jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/rtf_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import tools.cache  # noqa: E402,F401  (persistent compile cache owner)

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-W, H, SPP = (int(x) for x in (sys.argv[1:4] or (400, 300, 4)))
+_args = [int(x) for x in sys.argv[1:4]]
+W, H, SPP = _args + [400, 300, 4][len(_args):]
 
 SCENE_XML = "/root/reference/RayTracingProj8/RayTracingProj8/scene.xml"
 
