@@ -55,6 +55,11 @@ class RenderConfig:
     # (gi/volume.py) on the fused path; False = exact per-point hash-grid
     # gathers on the XLA path
     photon_volume: bool = True
+    # stable-sort hemisphere child rays by direction octant before the
+    # child wave (dead lanes compacted last): coherent blocks make the
+    # per-lane slab tile culls effective for GI rays.  Pure reordering —
+    # the estimate is identical up to per-lane RNG stream assignment.
+    gi_sort: bool = True
 
     # ---- ray-differential texture filtering (opt-in quality; the
     # reference's Texture::Sample elliptic filter, scene.h:331-349 +

@@ -292,9 +292,29 @@ def _mxu_pack(scene):
                        tuple(float(x) for x in tri_hi.max(0)))
         trit_parts.append(trit)
         shade_parts.append(shade)
-        aabb_rows = np.zeros((nt, 8), np.float32)
+        # rows 0-5: tile AABB.  Rows 6-13: per-direction-octant
+        # front-to-back tile visit order (GLOBAL row index at visit
+        # step k, stored as float — exact for indices < 2^24).  The
+        # sweeps traverse tiles near-to-far along the block's mean ray
+        # direction so the per-lane slab culls (capped by the current
+        # winner t) kill far tiles early — the ordered-traversal half
+        # of a BVH, with the tree flattened to one level of 128-face
+        # Morton tiles.
+        aabb_rows = np.zeros((nt, 16), np.float32)
         for j, bb in enumerate(aabbs):
             aabb_rows[j, :6] = bb
+        ctr = np.array([[(bb[0] + bb[3]) / 2, (bb[1] + bb[4]) / 2,
+                         (bb[2] + bb[5]) / 2]
+                        if bb[0] <= bb[3] else [1e30, 1e30, 1e30]
+                        for bb in aabbs], np.float64)
+        for o in range(8):
+            s = np.array([1.0 if o & 4 else -1.0,
+                          1.0 if o & 2 else -1.0,
+                          1.0 if o & 1 else -1.0])
+            key = ctr @ s
+            key[ctr[:, 0] >= 1e30] = np.inf   # empty padding tiles last
+            order = np.argsort(key, kind="stable")
+            aabb_rows[:, 6 + o] = (order + row0).astype(np.float32)
         aabb_parts.append(aabb_rows)
         row0 += nt
     return dict(trit=np.concatenate(trit_parts, axis=0),
@@ -739,6 +759,15 @@ def _lane_slab_any(aabb_ref, j, lo3, ild3, t_max_lane):
         lo3, ild3, t_max_lane)
 
 
+def _octant_col(ld3):
+    """AABB-table column (6..13) of the front-to-back tile order for
+    this block's mean LOCAL direction (sign bit per axis).  Blocks are
+    direction-coherent for camera rays and, after cfg.gi_sort, for
+    hemisphere child rays too — so the mean sign is the block sign."""
+    bits = [(jnp.sum(d) >= 0.0).astype(jnp.int32) for d in ld3]
+    return 6 + bits[0] * 4 + bits[1] * 2 + bits[2]
+
+
 def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
                       mesh_refs, need_uv=False):
     """Closest mesh hit, large-mesh path: per tile, ONE [1024,16] x
@@ -770,21 +799,26 @@ def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
         ild3 = _inv_dir(ld3)
         rays16 = _rays16(lo3, ld3)
         nrm = inst["nrm"]
+        oct_col = _octant_col(ld3)
 
         def tile(j, acc, rays16=rays16, nrm=nrm, lo3=lo3, ild3=ild3,
-                 ld3=ld3):
+                 ld3=ld3, oct_col=oct_col):
+            # visit step j -> tile jj, near-to-far along the block's
+            # mean direction (aabb rows 6-13), so the winner caps
+            # tighten as early as possible
+            jj = aabb_ref[j, oct_col].astype(jnp.int32)
             # per-lane slab cull with the CURRENT winner distances as
             # caps — tiles behind found hits drop out as st[0] shrinks
-            @pl.when(_lane_slab_any(aabb_ref, j, lo3, ild3, st[0]))
+            @pl.when(_lane_slab_any(aabb_ref, jj, lo3, ild3, st[0]))
             def _():
                 if stream:
-                    cp = pltpu.make_async_copy(trit_ref.at[j], trit_s,
+                    cp = pltpu.make_async_copy(trit_ref.at[jj], trit_s,
                                                sem_t)
                     cp.start()
                     cp.wait()
                     trit_j = trit_s[...]
                 else:
-                    trit_j = trit_ref[j]
+                    trit_j = trit_ref[jj]
                 t, valid, sa, sb, sc, dn = _mxu_pair(rays16, trit_j)
                 tt = jnp.where(valid & (t < t_cap_scalar), t, BIG)
 
@@ -806,13 +840,13 @@ def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
                     # selects (HIGHEST: normals/material must be exact)
                     hp = jax.lax.Precision.HIGHEST
                     if stream:
-                        cp2 = pltpu.make_async_copy(shade_ref.at[j],
+                        cp2 = pltpu.make_async_copy(shade_ref.at[jj],
                                                     shade_s, sem_s)
                         cp2.start()
                         cp2.wait()
                         sh = shade_s[...]
                     else:
-                        sh = shade_ref[j]                      # [T, 24]
+                        sh = shade_ref[jj]                     # [T, 24]
                     s1 = jnp.dot(pick, sh,
                                  preferred_element_type=jnp.float32,
                                  precision=hp)
@@ -866,23 +900,28 @@ def _mesh_anyhit_mxu(o3, d3, t_cap, consts, st, row, mesh_refs):
         ld3 = _mat3_apply_const(inst["itm"], d3[0], d3[1], d3[2])
         ild3 = _inv_dir(ld3)
         rays16 = _rays16(lo3, ld3)
+        oct_col = _octant_col(ld3)
 
-        def tile(j, acc, rays16=rays16, lo3=lo3, ild3=ild3):
+        def tile(j, acc, rays16=rays16, lo3=lo3, ild3=ild3,
+                 oct_col=oct_col):
+            # near-to-far visit order (see _mesh_closest_mxu): close
+            # occluders (self-shadowing) zero the caps early
+            jj = aabb_ref[j, oct_col].astype(jnp.int32)
             # per-lane slab: each shadow ray's segment is [0, its own
             # t_cap); already-occluded lanes carry an empty segment
             cap = jnp.where(st[row] >= 1.0, 0.0, t_cap)
-            ov = _lane_slab_any(aabb_ref, j, lo3, ild3, cap)
+            ov = _lane_slab_any(aabb_ref, jj, lo3, ild3, cap)
 
             @pl.when(ov)
             def _():
                 if stream:
-                    cp = pltpu.make_async_copy(trit_ref.at[j], trit_s,
+                    cp = pltpu.make_async_copy(trit_ref.at[jj], trit_s,
                                                sem_t)
                     cp.start()
                     cp.wait()
                     trit_j = trit_s[...]
                 else:
-                    trit_j = trit_ref[j]
+                    trit_j = trit_ref[jj]
                 # per-ray t_cap can't ride into pair space (the [8,128]
                 # -> [1024,1] relayout is unsupported); equivalent test:
                 # min valid t in the tile < cap  <=>  some valid t < cap
@@ -1794,6 +1833,27 @@ def fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key, i0,
             > 0.0)
         o3c = _offset_origin(p3[0], p3[1], p3[2], n3[0], n3[1], n3[2],
                              dirs[0], dirs[1], dirs[2])
+        # coherence sort (cfg.gi_sort): hemisphere directions are
+        # incoherent across a block, which defeats the per-lane slab
+        # tile culls (every MXU tile sees SOME lane that reaches it).
+        # A stable sort by direction octant groups each block into one
+        # cone while keeping origins in pixel order within the octant;
+        # dead lanes get key 8 so they compact into all-dead blocks
+        # that skip both kernels entirely.  Radiance is unsorted on the
+        # way out, so the estimator is unchanged — only the block
+        # composition of the child wave differs.
+        perm = inv = None
+        if cfg.gi_sort:
+            octant = ((dirs[0] >= 0.0).astype(jnp.int32) * 4
+                      + (dirs[1] >= 0.0).astype(jnp.int32) * 2
+                      + (dirs[2] >= 0.0).astype(jnp.int32))
+            sort_key = jnp.where(alive_c, octant, 8)
+            perm = jnp.argsort(sort_key, stable=True)
+            inv = jnp.argsort(perm)
+            o3c = tuple(x[perm] for x in o3c)
+            dirs = tuple(x[perm] for x in dirs)
+            tput3 = tuple(x[perm] for x in tput3)
+            alive_c = alive_c[perm]
         # the reference shades hemisphere samples with bounceCount-1
         # (main.cpp:678): one less Fresnel level than the camera ray
         out_c = wave(
@@ -1809,6 +1869,8 @@ def fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key, i0,
             rc3 = tuple(rc3[c] + vt_c[c] for c in range(3))
         else:
             rc3 = out_c[0]
+        if inv is not None:
+            rc3 = tuple(r[inv] for r in rc3)
         return tuple(carry[c] + rc3[c] for c in range(3)), None
 
     zero = jnp.zeros_like(p3[0])
