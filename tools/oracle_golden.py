@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import shutil
 import subprocess
 import sys
 
@@ -27,7 +28,11 @@ if os.environ.get("RTF_ORACLE_TPU", "0") != "1":
 
 from tools.oracle.build import build
 
-# case -> (project, defines, scene file, our profile, overrides)
+# case -> (project, defines, scene file, our profile, overrides, res)
+# res: render the case at this size instead of the scene's 800x600 —
+# the comparison is identical-sampling (pure-Halton subpixels on both
+# sides), so per-pixel RMSE is resolution-independent; this machine has
+# ONE core and the full-res single-core oracle renders cost 1-5 h each.
 CASES = {
     # Proj8 at a flat 64 spp: textures + reflection/refraction +
     # Halton subpixels.  Deterministic (no rand() in any Proj8 path).
@@ -35,7 +40,7 @@ CASES = {
               ("MIN_SAMPLE=64", "MAX_SAMPLE=64"),
               "scene.xml", "proj8",
               {"min_samples": 64, "max_samples": 64,
-               "split_mode": "both"}),
+               "split_mode": "both"}, (400, 300)),
     # Proj13 box scene, direct lighting only (the committed code's GI
     # block is commented out — GOLDENS.md), flat 64 spp.  Deterministic:
     # the scene's light has size=0 and no material sets
@@ -49,23 +54,53 @@ CASES = {
                 "hemisphere_samples": 0,
                 "light_average": False,
                 "shadow_min": 4, "shadow_max": 4,
-                "split_mode": "both"}),
+                "split_mode": "both"}, (400, 300)),
     # Proj7: deterministic 1 spp (pixel centers, no AA, no RNG).
     # proj7 profile: Proj7's SampleEnvironment is the one era with
     # Euclidean xy normalization (env_l2).
-    "prj7c": ("RayTracingProj7", (), "scene.xml", "proj7", {}),
+    "prj7c": ("RayTracingProj7", (), "scene.xml", "proj7", {}, None),
 }
 
+# oracle renders are hours of single-core work; persist them in the
+# repo so a container restart cannot lose them
+PERSIST = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "artifacts", "oracle")
 
-def oracle_render(project: str, defines, scene: str) -> str:
-    """Build + run the oracle (cached by output file)."""
+
+def _patch_resolution(scene_path: str, res) -> str:
+    """Write a copy of the scene XML with <width>/<height> replaced."""
+    import re
+    w, h = res
+    with open(scene_path) as f:
+        text = f.read()
+    text = re.sub(r'<width\s+value="\d+"\s*/>', f'<width value="{w}"/>', text)
+    text = re.sub(r'<height\s+value="\d+"\s*/>',
+                  f'<height value="{h}"/>', text)
+    out = scene_path.replace(".xml", f"_{w}x{h}.xml")
+    with open(out, "w") as f:
+        f.write(text)
+    return out
+
+
+def oracle_render(project: str, defines, scene: str, res=None) -> str:
+    """Build + run the oracle (cached by output file, persisted in
+    artifacts/oracle/ so restarts don't lose hours of render)."""
     binary = build(project, tuple(defines))
     wd = os.path.dirname(binary)
+    if res is not None:
+        scene = os.path.basename(_patch_resolution(
+            os.path.join(wd, scene), res))
     out = os.path.join(wd, f"oracle_{os.path.basename(scene)}.png")
+    keep = os.path.join(PERSIST, f"{os.path.basename(wd)}_"
+                                 f"{os.path.basename(out)}")
+    if not os.path.exists(out) and os.path.exists(keep):
+        shutil.copy(keep, out)
     if not os.path.exists(out):
         print(f"[oracle_golden] rendering {project} {scene} "
               f"(single-core C++: may take many minutes)", file=sys.stderr)
         subprocess.run([binary, scene, out], cwd=wd, check=True)
+        os.makedirs(PERSIST, exist_ok=True)
+        shutil.copy(out, keep)
     return out
 
 
@@ -76,8 +111,8 @@ def run(name: str) -> float:
     from rtf_tpu.utils.image import rmse
     from rtf_tpu.utils.png import read_png, write_png
 
-    project, defines, scene_file, profile, over = CASES[name]
-    oracle_png = oracle_render(project, defines, scene_file)
+    project, defines, scene_file, profile, over, res_wh = CASES[name]
+    oracle_png = oracle_render(project, defines, scene_file, res_wh)
     golden = read_png(oracle_png)
 
     xml = os.path.join(os.path.dirname(oracle_png), scene_file)
@@ -88,8 +123,9 @@ def run(name: str) -> float:
     cfg = PROFILES[profile]
     if over:
         cfg = dataclasses.replace(cfg, **over)
+    os.makedirs(PERSIST, exist_ok=True)
+    out = os.path.join(PERSIST, f"ours_{name}.png")
     res = render(scene, cfg)
-    out = f"/tmp/oracle_golden_{name}.png"
     write_png(out, res.image)
     err = rmse(res.image, golden[:, :, :3])
     print(f"{name}: RMSE {err:.5f} vs converged oracle {oracle_png}"
