@@ -55,11 +55,15 @@ class RenderConfig:
     # (gi/volume.py) on the fused path; False = exact per-point hash-grid
     # gathers on the XLA path
     photon_volume: bool = True
-    # stable-sort hemisphere child rays by direction octant before the
-    # child wave (dead lanes compacted last): coherent blocks make the
-    # per-lane slab tile culls effective for GI rays.  Pure reordering —
-    # the estimate is identical up to per-lane RNG stream assignment.
-    gi_sort: bool = True
+    # stratify the hemisphere fan-out's azimuth: chunk i draws phi in
+    # the i-th of S strata (per-lane jitter inside the stratum).
+    # Unbiased and lower-variance than independent phi, and it makes
+    # each chunk's child rays direction-coherent by construction on
+    # normal-coherent lane blocks (lanes ride in pixel order, so flat
+    # surfaces share frames) — which is what lets the per-lane slab
+    # tile culls work on GI rays.  Fused paths only; the XLA
+    # wavefront keeps the reference's independent sampling.
+    gi_stratify: bool = True
 
     # ---- ray-differential texture filtering (opt-in quality; the
     # reference's Texture::Sample elliptic filter, scene.h:331-349 +

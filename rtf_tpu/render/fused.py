@@ -762,7 +762,7 @@ def _lane_slab_any(aabb_ref, j, lo3, ild3, t_max_lane):
 def _octant_col(ld3):
     """AABB-table column (6..13) of the front-to-back tile order for
     this block's mean LOCAL direction (sign bit per axis).  Blocks are
-    direction-coherent for camera rays and, after cfg.gi_sort, for
+    direction-coherent for camera rays and, after cfg.gi_stratify, for
     hemisphere child rays too — so the mean sign is the block sign."""
     bits = [(jnp.sum(d) >= 0.0).astype(jnp.int32) for d in ld3]
     return 6 + bits[0] * 4 + bits[1] * 2 + bits[2]
@@ -1749,10 +1749,16 @@ def _volume_terms(queries, gi_vol):
     return tuple(out)
 
 
-def _hemisphere_dirs_ch(n3, key):
+def _hemisphere_dirs_ch(n3, key, stratum=None):
     """Channelwise cosine-ish hemisphere sample (main.cpp:643-654 basis
     rule + the phi ~ U(0,2pi), sin(theta) = sqrt(U) distribution) —
-    identical math to integrator._hemisphere_chunk."""
+    identical math to integrator._hemisphere_chunk.
+
+    stratum=(i, s): draw phi in the i-th of s azimuth strata (per-lane
+    jitter within the stratum) instead of U(0,2pi) — same marginal
+    distribution over the full fan-out, lower variance, and the rays of
+    one chunk become direction-coherent wherever the lane block's
+    normals are (cfg.gi_stratify)."""
     nx, ny, nz = n3
     m = nx.shape[0]
     use1 = nx < 0.4          # dot(N, x_axis) < 0.4
@@ -1765,7 +1771,11 @@ def _hemisphere_dirs_ch(n3, key):
     by = nz * tx - nx * tz
     bz = nx * ty - ny * tx
     k1, k2 = jax.random.split(key)
-    phi = jax.random.uniform(k1, (m,)) * (2.0 * np.pi)
+    u_phi = jax.random.uniform(k1, (m,))
+    if stratum is not None:
+        i, s = stratum
+        u_phi = (i.astype(jnp.float32) + u_phi) / float(s)
+    phi = u_phi * (2.0 * np.pi)
     ysq = jax.random.uniform(k2, (m,))
     sin_t = jnp.sqrt(ysq)
     cos_t = jnp.sqrt(1.0 - ysq)
@@ -1825,7 +1835,8 @@ def fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key, i0,
 
     def gi_chunk(carry, i):
         kc = jax.random.fold_in(key, i)
-        dirs, w = _hemisphere_dirs_ch(n3, kc)
+        dirs, w = _hemisphere_dirs_ch(
+            n3, kc, stratum=(i, s) if cfg.gi_stratify else None)
         tput3 = tuple(ke3[c] * kd3[c] * w * (1.0 / s)
                       for c in range(3))
         alive_c = alive & hit0 & (
@@ -1833,27 +1844,6 @@ def fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key, i0,
             > 0.0)
         o3c = _offset_origin(p3[0], p3[1], p3[2], n3[0], n3[1], n3[2],
                              dirs[0], dirs[1], dirs[2])
-        # coherence sort (cfg.gi_sort): hemisphere directions are
-        # incoherent across a block, which defeats the per-lane slab
-        # tile culls (every MXU tile sees SOME lane that reaches it).
-        # A stable sort by direction octant groups each block into one
-        # cone while keeping origins in pixel order within the octant;
-        # dead lanes get key 8 so they compact into all-dead blocks
-        # that skip both kernels entirely.  Radiance is unsorted on the
-        # way out, so the estimator is unchanged — only the block
-        # composition of the child wave differs.
-        perm = inv = None
-        if cfg.gi_sort:
-            octant = ((dirs[0] >= 0.0).astype(jnp.int32) * 4
-                      + (dirs[1] >= 0.0).astype(jnp.int32) * 2
-                      + (dirs[2] >= 0.0).astype(jnp.int32))
-            sort_key = jnp.where(alive_c, octant, 8)
-            perm = jnp.argsort(sort_key, stable=True)
-            inv = jnp.argsort(perm)
-            o3c = tuple(x[perm] for x in o3c)
-            dirs = tuple(x[perm] for x in dirs)
-            tput3 = tuple(x[perm] for x in tput3)
-            alive_c = alive_c[perm]
         # the reference shades hemisphere samples with bounceCount-1
         # (main.cpp:678): one less Fresnel level than the camera ray
         out_c = wave(
@@ -1869,8 +1859,6 @@ def fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key, i0,
             rc3 = tuple(rc3[c] + vt_c[c] for c in range(3))
         else:
             rc3 = out_c[0]
-        if inv is not None:
-            rc3 = tuple(r[inv] for r in rc3)
         return tuple(carry[c] + rc3[c] for c in range(3)), None
 
     zero = jnp.zeros_like(p3[0])

@@ -1,7 +1,7 @@
-"""A/B the GI coherence sort (cfg.gi_sort) on the real chip.
+"""A/B the GI azimuth stratification (cfg.gi_stratify) on the real chip.
 
 Runs the bench.py GI micro-config (box scene 400x300, 8 spp, 4
-hemisphere samples) and a scene_b hybrid-GI frame with gi_sort on/off
+hemisphere samples) and a scene_b hybrid-GI frame with gi_stratify on/off
 and prints steady frame times for each.
 """
 import os
@@ -45,9 +45,9 @@ def main():
                         gi_mode="hemisphere", hemisphere_samples=4,
                         queue_factor=1.0)
     for flag in (False, True):
-        cfg = dataclasses.replace(base, gi_sort=flag)
+        cfg = dataclasses.replace(base, gi_stratify=flag)
         dt = time_cfg(scene, cfg)
-        print(f"gi micro (400x300 8spp 4hemi) gi_sort={flag}: "
+        print(f"gi micro (400x300 8spp 4hemi) gi_stratify={flag}: "
               f"{dt:.3f}s", flush=True)
 
     if os.environ.get("SCENEB", "1") != "1":
@@ -65,10 +65,10 @@ def main():
         hemisphere_samples=int(os.environ.get("HEMI", 8)))
     grid = prepare_photon_grid(sceneb, cfgb, jax.random.PRNGKey(7))
     for flag in (False, True):
-        cfg = dataclasses.replace(cfgb, gi_sort=flag)
+        cfg = dataclasses.replace(cfgb, gi_stratify=flag)
         dt = time_cfg(sceneb, cfg, reps=2, gi_grid=grid)
         print(f"scene_b 800x600 4spp hemi={cfg.hemisphere_samples} "
-              f"gi_sort={flag}: {dt:.1f}s", flush=True)
+              f"gi_stratify={flag}: {dt:.1f}s", flush=True)
 
 
 if __name__ == "__main__":
