@@ -45,6 +45,12 @@ class PhotonGrid:
     n_valid: jnp.ndarray    # [] int32
     dims: tuple = struct.field(pytree_node=False, default=(1, 1, 1))
     cell_size: float = struct.field(pytree_node=False, default=1.0)
+    # TRUE max photons in any one cell, measured at build time.  Gathers
+    # default their per-cell loop bound to this, so no photon is ever
+    # silently dropped (VERDICT round-2 #3: the old hardcoded 128 cap
+    # truncated dense cells — caustic clusters — and biased both the
+    # k-th distance and the irradiance sum).
+    max_occupancy: int = struct.field(pytree_node=False, default=128)
 
 
 def _cell_of(grid_origin, cell_size, dims, p):
@@ -69,11 +75,15 @@ def build_photon_grid(pm: PhotonMapData, cell_size: float,
 
     pos, dirs, power, cell_start, cell_count = _grid_sort(
         pm, origin, dims, float(cell_size), nc)
+    # one tiny device->host scalar: the build is host-driven anyway, and
+    # knowing the true occupancy is what makes the gathers exact
+    max_occ = max(1, int(jnp.max(cell_count)))
     return PhotonGrid(pos=pos, dir=dirs, power=power,
                       cell_start=cell_start,
                       cell_count=cell_count,
                       origin=origin, n_valid=pm.count,
-                      dims=dims, cell_size=float(cell_size))
+                      dims=dims, cell_size=float(cell_size),
+                      max_occupancy=max_occ)
 
 
 import functools
@@ -176,12 +186,14 @@ def _kth_r2(grid: PhotonGrid, q_pos, q_normal, r_cap2, k: int,
     27-cell candidate d2 set per query ([chunk, 27*max_per_cell]) and
     select with top_k.  +inf where fewer than k photons pass the
     cap-radius + normal-disc acceptance.  Chunked with lax.map to bound
-    the candidate matrix."""
+    the candidate matrix (chunk auto-shrinks for dense cells so the
+    matrix stays <= ~32 MB regardless of occupancy)."""
     m = q_pos.shape[0]
     nx, ny, nz = grid.dims
     p = max_per_cell
     cap = grid.pos.shape[0]
     kk = min(k, 27 * p)
+    chunk = max(8, min(chunk, (8 << 20) // (27 * p)))
 
     pad = (-m) % chunk
     qp_all = jnp.pad(q_pos, ((0, pad), (0, 0)))
@@ -281,12 +293,17 @@ def nearest_photon(grid: PhotonGrid, q_pos, photon_chunk: int = 4096):
 def estimate_irradiance(grid: PhotonGrid, q_pos, q_normal,
                         radius: float, k: int,
                         filter_type: int = FILTER_CONSTANT,
-                        max_per_cell: int = 128,
+                        max_per_cell: int = None,
                         exact: bool = True,
                         kth_chunk: int = 1024):
     """Batched EstimateIrradiance (cyPhotonMap.h:288-336).
 
     Returns (irradiance [M,3], mean_dir [M,3]).
+
+    max_per_cell defaults to the grid's measured max occupancy —
+    truncation-free, like the reference kd-tree which has no per-node
+    cap (cyPhotonMap.h:365-440).  Pass an explicit bound only to trade
+    exactness for speed.
 
     exact=True (default): where more than k photons lie within the cap
     radius, the selection radius is the TRUE k-th-nearest distance
@@ -298,6 +315,8 @@ def estimate_irradiance(grid: PhotonGrid, q_pos, q_normal,
     only under locally uniform photon density; cheaper (no candidate
     materialization) and kept for throughput-critical callers.
     """
+    if max_per_cell is None:
+        max_per_cell = grid.max_occupancy
     m = q_pos.shape[0]
     r2 = jnp.full((m,), radius * radius, jnp.float32)
     irrad, dsum, count = _gather_pass(grid, q_pos, q_normal, r2,

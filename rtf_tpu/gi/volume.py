@@ -49,7 +49,7 @@ def build_irradiance_volume(grid: PhotonGrid, radius: float, k: int,
                             bounds_min, bounds_max,
                             cell: float = None,
                             filter_type: int = 0,
-                            max_per_cell: int = 128,
+                            max_per_cell: int = None,
                             chunk: int = 65536) -> IrradianceVolume:
     """Evaluate estimate_irradiance at every corner of a world-space grid.
 
