@@ -127,9 +127,13 @@ def _gather_pass(grid: PhotonGrid, q_pos, q_normal, radius2,
     nx, ny, nz = grid.dims
     base = jnp.floor((q_pos - grid.origin) / grid.cell_size).astype(jnp.int32)
 
-    irrad = jnp.zeros((m, 3), jnp.float32)
-    dsum = jnp.zeros((m, 3), jnp.float32)
-    count = jnp.zeros((m,), jnp.int32)
+    # derive the zeros from q_pos (not jnp.zeros) so they inherit its
+    # varying-manual-axes type: under shard_map the fori_loop carry
+    # below must enter with the same vma the body's q_pos math produces
+    zero_q = q_pos * 0.0
+    irrad = zero_q
+    dsum = zero_q
+    count = zero_q[:, 0].astype(jnp.int32)
 
     for dz in (-1, 0, 1):
         for dy in (-1, 0, 1):

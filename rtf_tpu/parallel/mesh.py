@@ -49,10 +49,6 @@ def shard_map(f=None, *, strict: bool = True, **kw):
     return _shard_map(f, **kw)
 from jax.sharding import Mesh, PartitionSpec as P
 
-from rtf_tpu.core.math import BIGFLOAT
-from rtf_tpu.render.camera import primary_rays
-from rtf_tpu.render.integrator import render_wave
-
 
 def make_mesh(n_tile: int = None, n_spp: int = 1, devices=None) -> Mesh:
     """Build a ("tile", "spp") mesh over the available devices."""
@@ -66,46 +62,66 @@ def make_mesh(n_tile: int = None, n_spp: int = 1, devices=None) -> Mesh:
 
 
 def render_sharded(scene, cfg, mesh: Mesh, seed: int = 0,
-                   fused: bool = None, gi_vol=None):
-    """Render scene.width x scene.height with spp = cfg.min_samples x
-    (spp axis size), sharded over the mesh. Returns (radiance [P,3],
-    hit_count [P], z [P]) fully replicated on the host.
+                   fused: bool = None, gi_grid=None, caustic_grid=None):
+    """The FULL adaptive render, sharded over the mesh.  Returns
+    (rad [3,P], hits [P], z [P], nsamples [P]) in pixel-id space,
+    replicated on the host — the same contract as `render_device`.
 
-    Per shard: each "tile" rank owns a contiguous block of pixel rows;
-    each "spp" rank renders a disjoint set of sample indices for those
-    pixels.  Combine: sum radiance/hits (psum over "spp"), then
-    all_gather tiles.
+    Per shard: each "tile" rank owns a contiguous chunk of LANE space
+    (camera.pixel_order tile order); each "spp" rank renders a strided
+    subset of the GLOBAL sample indices for those lanes.  The whole
+    per-shard program is `renderer.adaptive_ladder` over
+    `renderer.wave_contrib` — the exact bodies the single-chip renderer
+    runs (one integrator, no fork), including the adaptive variance
+    rungs (need-masks agree across ranks via a psum over "spp") and the
+    photon/caustic GI terms.
 
-    fused=True (default: auto via fusable()) runs the Pallas wave kernel
-    per shard instead of the XLA wavefront: each tile rank owns a
-    contiguous chunk of LANE space (camera.pixel_order), so the kernel's
-    block packing is a plain reshape per shard.  Scene immediates are
-    compile-time constants and the mesh tables are closed-over arrays —
-    replicated, no collectives; only the spp-axis psum touches ICI.
-    """
-    from rtf_tpu.render.camera import pixel_order, primary_rays_ch
-    from rtf_tpu.render.fused import (
-        frozen_consts, fusable, mxu_tables, fused_wave, fused_gi_wave,
+    Scene arrays (instances, BVH/MXU tables, textures, photon volumes)
+    are closed over — replicated, no collectives; only the spp-axis
+    psum/pmin of the accumulators touches ICI.
+
+    fused=None auto-selects like render_device_host: the mono Pallas
+    wave kernel when the scene/config fuses, the XLA wavefront
+    otherwise.  gi_grid/caustic_grid follow render()'s conventions
+    (photon grids, or prebuilt IrradianceVolumes on the fused path)."""
+    from rtf_tpu.render.camera import pixel_order
+    from rtf_tpu.render.fused import frozen_consts, fuse_reason, mxu_tables
+    from rtf_tpu.render.renderer import (
+        _cached_volume, adaptive_ladder, lanes_to_pixels,
     )
     w, h = scene.width, scene.height
     num_px = w * h
     n_tile = mesh.shape["tile"]
     n_spp = mesh.shape["spp"]
     assert num_px % n_tile == 0, "pixel count must divide the tile axis"
-    px_per_shard = num_px // n_tile
 
     if fused is None:
-        # photon-volume GI rides the fused path only when the caller
-        # passes the prebuilt irradiance volume (gi_vol)
-        fused = fusable(scene, cfg) and (cfg.gi_mode != "photon"
-                                         or gi_vol is not None)
+        fused = jax.default_backend() == "tpu" \
+            and fuse_reason(scene, cfg) is None
+
+    # photon volumes: same conversion the single-chip host loop does
+    gi_vol = caustic_vol = None
+    if fused and cfg.photon_volume:
+        from rtf_tpu.gi.volume import IrradianceVolume
+        if gi_grid is not None and cfg.gi_mode in ("photon", "pm_direct"):
+            gi_vol = gi_grid if isinstance(gi_grid, IrradianceVolume) \
+                else _cached_volume(gi_grid, cfg.knn_radius, cfg.knn_k,
+                                    scene.world_min, scene.world_max)
+        if caustic_grid is not None:
+            caustic_vol = caustic_grid \
+                if isinstance(caustic_grid, IrradianceVolume) \
+                else _cached_volume(caustic_grid, cfg.caustic_radius,
+                                    cfg.knn_k, scene.world_min,
+                                    scene.world_max)
+
     if fused:
         consts = frozen_consts(scene)
-        mesh_tables = mxu_tables(scene)
-        order = jnp.asarray(pixel_order(w, h))
-        pix_global = order
+        wave_kwargs = dict(fused_consts=consts,
+                           mesh_tables=mxu_tables(scene),
+                           gi_vol=gi_vol, caustic_vol=caustic_vol)
     else:
-        pix_global = jnp.arange(num_px, dtype=jnp.int32)
+        wave_kwargs = dict(gi_grid=gi_grid, caustic_grid=caustic_grid)
+    order = jnp.asarray(pixel_order(w, h))
 
     # strict vma everywhere except Pallas interpret mode (see shard_map)
     strict = not (fused and jax.default_backend() != "tpu")
@@ -113,66 +129,15 @@ def render_sharded(scene, cfg, mesh: Mesh, seed: int = 0,
     @functools.partial(
         shard_map, mesh=mesh, strict=strict,
         in_specs=(P(), P("tile")),
-        out_specs=(P("tile"), P("tile"), P("tile")),
+        out_specs=(P(None, "tile"), P("tile"), P("tile"), P("tile")),
     )
     def shard_fn(key, pix):
-        spp_rank = jax.lax.axis_index("spp")
-        rad = jnp.zeros((px_per_shard, 3), jnp.float32)
-        hits = jnp.zeros((px_per_shard,), jnp.int32)
-        z = jnp.full((px_per_shard,), BIGFLOAT, jnp.float32)
-        px = pix % w
-        py = pix // w
-        local_ids = jnp.arange(px_per_shard, dtype=jnp.int32)
-        mask = jnp.ones((px_per_shard,), bool)
-        for j in range(cfg.min_samples):
-            sample_idx = spp_rank * cfg.min_samples + j
-            kj = jax.random.fold_in(jax.random.fold_in(key, sample_idx), 13)
-            if fused:
-                o3, d3 = primary_rays_ch(
-                    scene, px, py, jnp.full_like(px, sample_idx), key=kj,
-                    halton_bases=(cfg.halton_base_x, cfg.halton_base_y),
-                    dof=scene.dof > 0)
-                tile_rank = jax.lax.axis_index("tile")
-                seed32 = (jax.random.randint(
-                    jax.random.fold_in(kj, 7), (), 0, 2 ** 31 - 1
-                ).astype(jnp.int32) + spp_rank * 15485863
-                    + tile_rank * 32452843)
-                if cfg.gi_mode == "none":
-                    rad3, hitl, zl = fused_wave(
-                        cfg, consts.obj, o3, d3, mask, seed32,
-                        mesh_tables=mesh_tables)
-                else:
-                    rad3, hitl, zl = fused_gi_wave(
-                        cfg, consts.obj, o3, d3, mask, seed32,
-                        jax.random.fold_in(kj, 11), gi_vol=gi_vol,
-                        mesh_tables=mesh_tables)
-                rad = rad + jnp.stack(rad3, axis=-1)
-                hits = hits + hitl.astype(jnp.int32)
-                z = jnp.minimum(z, jnp.where(hitl, zl, BIGFLOAT))
-            else:
-                o, d = primary_rays(scene, px, py,
-                                    jnp.full_like(px, sample_idx),
-                                    key=kj,
-                                    halton_bases=(cfg.halton_base_x,
-                                                  cfg.halton_base_y),
-                                    dof=scene.dof > 0)
-                out = render_wave(scene, cfg, o, d, local_ids, mask,
-                                  jax.random.fold_in(kj, 7), px_per_shard)
-                rad = rad + out.radiance
-                hits = hits + out.hit_count
-                z = jnp.minimum(z, out.z_min)
-        # combine the independent sample batches over ICI
-        rad = jax.lax.psum(rad, "spp")
-        hits = jax.lax.psum(hits, "spp")
-        z = jax.lax.pmin(z, "spp")
-        return rad, hits, z
+        return adaptive_ladder(
+            scene, cfg, pix % w, pix // w, key,
+            spp_rank=jax.lax.axis_index("spp"), n_spp=n_spp,
+            psum_axis="spp", vary_axes=tuple(mesh.axis_names),
+            **wave_kwargs)
 
     key = jax.random.PRNGKey(seed)
-    fn = jax.jit(shard_fn)
-    rad, hits, z = fn(key, pix_global)
-    if fused:
-        # lane space -> pixel-id space (scatter by the tile order)
-        inv = jnp.zeros((num_px,), jnp.int32).at[pix_global].set(
-            jnp.arange(num_px, dtype=jnp.int32))
-        rad, hits, z = rad[inv], hits[inv], z[inv]
-    return rad, hits, z
+    rad, hits, z, ns = jax.jit(shard_fn)(key, order)
+    return lanes_to_pixels(rad, hits, z, ns, order)

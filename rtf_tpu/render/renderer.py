@@ -25,8 +25,7 @@ import numpy as np
 from rtf_tpu.core.math import BIGFLOAT
 from rtf_tpu.ops.texture import sample_background
 from rtf_tpu.render.camera import (
-    pixel_grid, pixel_order, pixel_order_inv, primary_rays,
-    primary_rays_ch,
+    pixel_grid, pixel_order, primary_rays, primary_rays_ch,
 )
 from rtf_tpu.render.config import RenderConfig
 from rtf_tpu.render.integrator import WaveOutput, render_wave
@@ -90,36 +89,21 @@ class RenderResult(NamedTuple):
     sample_count: np.ndarray  # [H,W] int32
 
 
-def _wave_stats(scene, cfg, sample_lo: int, sample_hi: int, key,
-                mask_pixels, gi_grid=None, caustic_grid=None):
-    """Trace samples [sample_lo, sample_hi) for all pixels; returns summed
-    radiance, summed squares (for variance), hit counts, z."""
-    num_px = scene.width * scene.height
-    init = (jnp.zeros((3, num_px), jnp.float32),
-            jnp.zeros((3, num_px), jnp.float32),
-            jnp.zeros((num_px,), jnp.int32),
-            jnp.full((num_px,), BIGFLOAT, jnp.float32))
-    carry, _ = jax.lax.scan(
-        lambda c, j: (_wave_body(c, scene, cfg, mask_pixels, key, j,
-                                 gi_grid=gi_grid,
-                                 caustic_grid=caustic_grid), None),
-        init, jnp.arange(sample_lo, sample_hi))
-    return carry
+def wave_contrib(scene, cfg, px, py, mask_lanes, key, j, gi_grid=None,
+                 fused_consts=None, gi_vol=None, mesh_tables=None,
+                 caustic_grid=None, caustic_vol=None, fused_mode="mono"):
+    """One sample wave for an ARBITRARY set of lanes (px/py are the
+    lanes' pixel coordinates): returns (contrib [3,n], hit_count [n],
+    z_min [n]) in lane space.
 
-
-def _wave_body(carry, scene, cfg, mask_lanes, key, j, gi_grid=None,
-               fused_consts=None, gi_vol=None, mesh_tables=None,
-               caustic_grid=None, fused_mode="mono"):
-    """One sample wave for all pixels, accumulated in LANE space (lane k
-    renders pixel order[k], camera.pixel_order).  Nothing in the wave
-    loop gathers or scatters; the lane->pixel conversion happens once
-    per render in `lanes_to_pixels`."""
-    w, h = scene.width, scene.height
-    num_px = w * h
-    rad, rad2, hits, z = carry
-    order = jnp.asarray(pixel_order(w, h))
-    px = order % w
-    py = order // w
+    This is THE integrator driving body — the single-chip wave loop
+    (`_wave_body`), the one-program renderer (`render_device`) and the
+    sharded renderer (`parallel/mesh.py::render_sharded`) all call it,
+    so the per-sample semantics (Halton subpixel index j, key folding,
+    path selection, GI terms) cannot fork between them (round-2 VERDICT
+    #8: the previous sharded loop had already drifted — no adaptive
+    phase, no caustics)."""
+    n = px.shape[0]
     kj = jax.random.fold_in(key, j)
     if fused_consts is not None:
         # fully channelwise: every array stays 1-D [N] or [3, P] so the
@@ -132,7 +116,7 @@ def _wave_body(carry, scene, cfg, mask_lanes, key, j, gi_grid=None,
         seed32 = jax.random.randint(
             jax.random.fold_in(kj, 7), (), 0, 2 ** 31 - 1)
         wave_fn = _seg_wave_fn(scene) if fused_mode == "seg" else None
-        if cfg.gi_mode == "none":
+        if cfg.gi_mode == "none" and caustic_vol is None:
             if wave_fn is not None:
                 rad3, hitl, zl = wave_fn(
                     cfg, fused_consts.obj, o3, d3, mask_lanes,
@@ -146,29 +130,33 @@ def _wave_body(carry, scene, cfg, mask_lanes, key, j, gi_grid=None,
                 cfg, fused_consts.obj, o3, d3, mask_lanes,
                 seed32.astype(jnp.int32), jax.random.fold_in(kj, 11),
                 gi_vol=gi_vol, mesh_tables=mesh_tables,
-                wave_fn=wave_fn)
+                wave_fn=wave_fn, caustic_vol=caustic_vol)
         contrib = jnp.stack(rad3, axis=0)
         hit_count = hitl.astype(jnp.int32)
         z_min = jnp.where(hitl, zl, jnp.float32(1.0e30))
     else:
-        inv_order = jnp.asarray(pixel_order_inv(w, h))
+        ids = jnp.arange(n, dtype=jnp.int32)
         o, d = primary_rays(scene, px, py, jnp.full_like(px, j), key=kj,
                             halton_bases=(cfg.halton_base_x,
                                           cfg.halton_base_y),
                             dof=scene.dof > 0)
-        out = render_wave(scene, cfg, o, d, order, mask_lanes,
-                          jax.random.fold_in(kj, 7), num_px,
-                          gi_grid=gi_grid, inv_pixel=inv_order,
+        # one lane per pixel in a wave, so local identity ids make
+        # render_wave's lane->pixel assembly a no-op: the output IS
+        # lane space (per-lane RNG never keys off pixel ids)
+        out = render_wave(scene, cfg, o, d, ids, mask_lanes,
+                          jax.random.fold_in(kj, 7), n,
+                          gi_grid=gi_grid, inv_pixel=ids,
                           caustic_grid=caustic_grid)
-        # back to lane space so both paths accumulate identically
-        contrib = out.radiance.T[:, order]
-        hit_count = out.hit_count[order]
-        z_min = out.z_min[order]
-    rad = rad + contrib
-    rad2 = rad2 + contrib * contrib
-    hits = hits + hit_count
-    z = jnp.minimum(z, z_min)
-    return (rad, rad2, hits, z)
+        contrib = out.radiance.T
+        hit_count = out.hit_count
+        z_min = out.z_min
+    return contrib, hit_count, z_min
+
+
+def _accum(carry, contrib, hit_count, z_min):
+    rad, rad2, hits, z = carry
+    return (rad + contrib, rad2 + contrib * contrib,
+            hits + hit_count, jnp.minimum(z, z_min))
 
 
 @jax.jit
@@ -184,30 +172,29 @@ def lanes_to_pixels(rad, hits, z, nsamples, order):
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "fused_consts", "nsub",
                                     "fused_mode"))
-def _wave_step(carry, scene, cfg, mask_pixels, key, j, gi_grid=None,
-               fused_consts=None, gi_vol=None, mesh_tables=None, nsub=1,
-               caustic_grid=None, fused_mode="mono"):
-    """nsub sample waves per dispatch (amortizes per-call host/tunnel
-    overhead; lax.scan keeps the compiled size at one wave).
+def _wave_step(carry, scene, cfg, px, py, mask_lanes, key, j,
+               gi_grid=None, fused_consts=None, gi_vol=None,
+               mesh_tables=None, nsub=1, caustic_grid=None,
+               fused_mode="mono"):
+    """nsub sample waves per dispatch for one LANE TILE (px/py are the
+    tile's pixel coords — the full frame, or one slice of it when the
+    host loop tiles the XLA wavefront).  lax.scan keeps the compiled
+    size at one wave.
 
     NO buffer donation: on the tunneled TPU backend a donated argument
     forces a synchronous round-trip per dispatch (~400ms), serializing
     the wave pipeline — measured 6x slower than the extra copy."""
+    def one(c, jj):
+        contrib, hc, zm = wave_contrib(
+            scene, cfg, px, py, mask_lanes, key, jj, gi_grid=gi_grid,
+            fused_consts=fused_consts, gi_vol=gi_vol,
+            mesh_tables=mesh_tables, caustic_grid=caustic_grid,
+            fused_mode=fused_mode)
+        return _accum(c, contrib, hc, zm)
     if nsub == 1:
-        return _wave_body(carry, scene, cfg, mask_pixels, key, j,
-                          gi_grid=gi_grid, fused_consts=fused_consts,
-                          gi_vol=gi_vol, mesh_tables=mesh_tables,
-                          caustic_grid=caustic_grid,
-                          fused_mode=fused_mode)
-    carry, _ = jax.lax.scan(
-        lambda c, jj: (_wave_body(c, scene, cfg, mask_pixels, key, jj,
-                                  gi_grid=gi_grid,
-                                  fused_consts=fused_consts,
-                                  gi_vol=gi_vol,
-                                  mesh_tables=mesh_tables,
-                                  caustic_grid=caustic_grid,
-                                  fused_mode=fused_mode), None),
-        carry, j + jnp.arange(nsub))
+        return one(carry, j)
+    carry, _ = jax.lax.scan(lambda c, jj: (one(c, jj), None),
+                            carry, j + jnp.arange(nsub))
     return carry
 
 
@@ -292,35 +279,92 @@ def _phase_bounds(cfg) -> list:
     return bounds
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def render_device(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
-    """Full adaptive render as ONE device program (lax.scan over sample
-    waves).  Used by the graft entry point; `render_device_host` is the
-    production path (same math, wave-at-a-time dispatch)."""
-    num_px = scene.width * scene.height
-    all_px = jnp.ones((num_px,), bool)
+def adaptive_ladder(scene, cfg: RenderConfig, px, py, key, *,
+                    spp_rank=None, n_spp: int = 1, psum_axis=None,
+                    vary_axes=(), **wave_kwargs):
+    """The full adaptive-AA render (MIN_SAMPLE phase + variance-gated
+    rungs, main.cpp:266-307) for an arbitrary set of lanes, as one
+    traced program over `wave_contrib`.
 
+    Sharding: with psum_axis set, global sample indices are strided
+    across the mesh's "spp" axis (rank r renders j = lo + i*n_spp + r),
+    and accumulators are psum'd before every variance decision so all
+    ranks compute the IDENTICAL refinement mask — the sharded analog of
+    the reference's shared colorlist (main.cpp:273).  Key folding uses
+    the GLOBAL sample index, so each j consumes the same Halton/key
+    stream regardless of which rank renders it.
+
+    Returns (rad [3,n], hits [n], z [n], nsamples [n]) in lane space,
+    combined over the psum axis (replicated across it)."""
+    n = px.shape[0]
+    rank = spp_rank if spp_rank is not None else 0
+
+    def phase(carry, kphase, lo, hi, need):
+        iters = -(-(hi - lo) // n_spp)   # ceil: ranks may idle last wave
+
+        def body(c, i):
+            j = lo + i * n_spp + rank
+            valid = j < hi
+            contrib, hit_count, z_min = wave_contrib(
+                scene, cfg, px, py, need & valid, kphase, j,
+                **wave_kwargs)
+            rad, rad2, hits, z = c
+            contrib = jnp.where(valid, contrib, 0.0)
+            hit_count = jnp.where(valid, hit_count, 0)
+            z_min = jnp.where(valid, z_min, jnp.float32(1.0e30))
+            return (rad + contrib, rad2 + contrib * contrib,
+                    hits + hit_count, jnp.minimum(z, z_min)), None
+
+        carry, _ = jax.lax.scan(body, carry, jnp.arange(iters))
+        return carry
+
+    def combined(carry):
+        if psum_axis is None:
+            return carry
+        rad, rad2, hits, z = carry
+        return (jax.lax.psum(rad, psum_axis),
+                jax.lax.psum(rad2, psum_axis),
+                jax.lax.psum(hits, psum_axis),
+                jax.lax.pmin(z, psum_axis))
+
+    all_px = jnp.ones((n,), bool)
+    local = (jnp.zeros((3, n), jnp.float32),
+             jnp.zeros((3, n), jnp.float32),
+             jnp.zeros((n,), jnp.int32),
+             jnp.full((n,), BIGFLOAT, jnp.float32))
+    if vary_axes:
+        # under shard_map the accumulators are device-varying (they
+        # absorb tile-varying pixels and spp-varying sample indices);
+        # the vma type checker needs the initial zeros cast to match
+        local = tuple(jax.lax.pcast(x, vary_axes, to="varying")
+                      for x in local)
     k1, k2 = jax.random.split(key)
     bounds = _phase_bounds(cfg)
-    rad, rad2, hits, z = _wave_stats(scene, cfg, 0, bounds[0], k1,
-                                     all_px, gi_grid=gi_grid)
-    nsamples = jnp.full((num_px,), bounds[0], jnp.int32)
+    local = phase(local, k1, 0, bounds[0], all_px)
+    nsamples = jnp.full((n,), bounds[0], jnp.int32)
 
     need = all_px
+    rad, rad2, hits, z = combined(local)
     for rung, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
         # variance over ALL accumulated hit samples (colorlist grows
         # across rungs, main.cpp:273); a pixel that stops never resumes
         need = need & _need_mask.__wrapped__(cfg, rad, rad2, hits)
         kr = k2 if rung == 0 else jax.random.fold_in(k2, rung)
-        rad_b, rad2_b, hits_b, z_b = _wave_stats(
-            scene, cfg, lo, hi, kr, need, gi_grid=gi_grid)
-        rad = rad + rad_b
-        rad2 = rad2 + rad2_b
-        hits = hits + hits_b
-        z = jnp.minimum(z, z_b)
+        local = phase(local, kr, lo, hi, need)
+        rad, rad2, hits, z = combined(local)
         nsamples = nsamples + jnp.where(need, hi - lo, 0)
+    return rad, hits, z, nsamples
 
-    order = jnp.asarray(pixel_order(scene.width, scene.height))
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_device(scene, cfg: RenderConfig, key, gi_grid=None) -> tuple:
+    """Full adaptive render as ONE device program (lax.scan over sample
+    waves).  Used by the graft entry point; `render_device_host` is the
+    production path (same math, wave-at-a-time dispatch)."""
+    w, h = scene.width, scene.height
+    order = jnp.asarray(pixel_order(w, h))
+    rad, hits, z, nsamples = adaptive_ladder(
+        scene, cfg, order % w, order // w, key, gi_grid=gi_grid)
     return lanes_to_pixels.__wrapped__(rad, hits, z, nsamples, order)
 
 
@@ -344,11 +388,6 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
     throughput-critical paths."""
     num_px = scene.width * scene.height
     k1, k2 = jax.random.split(key)
-    carry = (jnp.zeros((3, num_px), jnp.float32),
-             jnp.zeros((3, num_px), jnp.float32),
-             jnp.zeros((num_px,), jnp.int32),
-             jnp.full((num_px,), BIGFLOAT, jnp.float32))
-    all_px = jnp.ones((num_px,), bool)
 
     fused_consts = None
     gi_vol = None
@@ -400,8 +439,53 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
     elif gi_vol is not None:
         gi_grid = gi_vol  # XLA path: volume lookups replace the gather
 
-    # the whole loop runs in LANE space (tile order); converted once at
-    # the end.  Waves go out in batches of STEP per dispatch (32 waves:
+    # Host-side lane tiling for the XLA wavefront (round-2 VERDICT #5):
+    # one full-res 800x600 XLA wave dispatch crashes the tunneled TPU
+    # worker, which previously made every non-kernel config (exact
+    # both-children split, tex_filter, >2 lights, exact per-point kNN)
+    # effectively CPU-only at full resolution.  Splitting each wave into
+    # lane tiles keeps every dispatch at a proven-safe size; kernel
+    # paths are unaffected (one tile).  RTF_XLA_TILE_LANES tunes the
+    # per-dispatch lane budget.
+    import os as _os
+    tile_lanes = int(_os.environ.get("RTF_XLA_TILE_LANES", 131072))
+    # tiling is a TPU-dispatch-size concern; an explicit env override
+    # also applies on CPU so tests can exercise the tiled loop
+    if fused_consts is None and num_px > tile_lanes \
+            and (jax.default_backend() == "tpu"
+                 or "RTF_XLA_TILE_LANES" in _os.environ):
+        n_tiles = -(-num_px // tile_lanes)
+        tile = ((-(-num_px // n_tiles) + 1023) // 1024) * 1024
+        n_tiles = -(-num_px // tile)
+        _log_path(scene, f"XLA wavefront tiled x{n_tiles}",
+                  f"{num_px} lanes > {tile_lanes} per-dispatch budget")
+    else:
+        n_tiles, tile = 1, num_px
+    padded_px = n_tiles * tile
+
+    order_np = pixel_order(scene.width, scene.height)
+    if padded_px > num_px:
+        order_np = np.concatenate(
+            [order_np, np.zeros(padded_px - num_px, np.int32)])
+    px_t = [jnp.asarray(order_np[t * tile:(t + 1) * tile] % scene.width)
+            for t in range(n_tiles)]
+    py_t = [jnp.asarray(order_np[t * tile:(t + 1) * tile] // scene.width)
+            for t in range(n_tiles)]
+    carries = [(jnp.zeros((3, tile), jnp.float32),
+                jnp.zeros((3, tile), jnp.float32),
+                jnp.zeros((tile,), jnp.int32),
+                jnp.full((tile,), BIGFLOAT, jnp.float32))
+               for _ in range(n_tiles)]
+    # padding lanes (tile remainder) stay masked off in every wave
+    all_px = jnp.asarray(np.arange(padded_px) < num_px)
+
+    def _assemble(carries):
+        if n_tiles == 1:
+            return carries[0]
+        return tuple(jnp.concatenate([c[i] for c in carries], axis=-1)
+                     for i in range(4))
+
+    # Waves go out in batches of STEP per dispatch (32 waves:
     # measured 127 vs 118 Mrays/s over STEP=8 on the 64-spp bench) — but
     # GI configs on the XLA path get ONE wave per dispatch: an 8-wave GI
     # dispatch at 800x600 exceeds the backend's per-dispatch runtime
@@ -412,11 +496,11 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
     # (phase 2 may cover fewer pixels, but wave count is the unit here)
     _prog = {"done": 0, "total": _phase_bounds(cfg)[-1]}
 
-    def _tick(carry, n_waves):
+    def _tick(carries, n_waves):
         if progress_cb is None:
             return
         import numpy as _nnp
-        _nnp.asarray(carry[2][:1])   # tiny fence: dispatch has finished
+        _nnp.asarray(carries[-1][2][:1])  # tiny fence: batch has finished
         _prog["done"] += n_waves
         progress_cb(_prog["done"], _prog["total"])
 
@@ -426,11 +510,13 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
     if gi_host:
         # fused GI: per sample, one primary dispatch + the hemisphere
         # fan-out in bounded chunks (keeps every dispatch well under the
-        # backend's runtime limit at full resolution)
+        # backend's runtime limit at full resolution).  Fused path ==
+        # one tile, so carries is a single full-frame tuple.
         s = cfg.hemisphere_samples if cfg.gi_mode != "none" else 0
         chunk = max(1, min(int(cfg.gi_dispatch_chunk), max(s, 1)))
 
-        def run(carry, mask, kphase, lo, hi):
+        def run(carries, mask, kphase, lo, hi):
+            carry = carries[0]
             for j in range(lo, hi):
                 contrib, hitl, zl, surf, seed32, kgi = _gi_primary_step(
                     scene, cfg, mask, kphase, j, fused_consts,
@@ -446,31 +532,31 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
                         fused_mode=fused_mode)
                     i0 += nc
                 carry = _gi_fold(carry, contrib, hitl, zl)
-                _tick(carry, 1)
-            return carry
+                _tick([carry], 1)
+            return [carry]
     else:
-        def run(carry, mask, kphase, lo, hi):
+        def run(carries, mask, kphase, lo, hi):
             j = lo
             while j < hi:
                 k = min(STEP, hi - j)
-                carry = _wave_step(carry, scene, cfg, mask, kphase, j,
-                                   gi_grid=gi_grid,
-                                   fused_consts=fused_consts,
-                                   gi_vol=gi_vol,
-                                   mesh_tables=mesh_tables,
-                                   nsub=k,
-                                   caustic_grid=caustic_grid,
-                                   fused_mode=fused_mode)
+                for t in range(n_tiles):
+                    sl = slice(t * tile, (t + 1) * tile)
+                    carries[t] = _wave_step(
+                        carries[t], scene, cfg, px_t[t], py_t[t],
+                        mask[sl], kphase, j, gi_grid=gi_grid,
+                        fused_consts=fused_consts, gi_vol=gi_vol,
+                        mesh_tables=mesh_tables, nsub=k,
+                        caustic_grid=caustic_grid, fused_mode=fused_mode)
                 j += k
-                _tick(carry, k)
-            return carry
+                _tick(carries, k)
+            return carries
 
     # sample_base offsets the Halton subpixel index stream so a caller
     # accumulating passes (cli watch) never re-renders index 0
     bounds = _phase_bounds(cfg)
-    carry = run(carry, all_px, k1, sample_base, sample_base + bounds[0])
-    rad, rad2, hits, z = carry
-    nsamples = jnp.full((num_px,), bounds[0], jnp.int32)
+    carries = run(carries, all_px, k1, sample_base, sample_base + bounds[0])
+    rad, rad2, hits, z = _assemble(carries)
+    nsamples = jnp.full((padded_px,), bounds[0], jnp.int32)
 
     need = all_px
     for rung, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
@@ -478,13 +564,14 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
         # across rungs, main.cpp:273); a pixel that stops never resumes
         need = need & _need_mask(cfg, rad, rad2, hits)
         kr = k2 if rung == 0 else jax.random.fold_in(k2, rung)
-        carry = run((rad, rad2, hits, z), need, kr,
-                    sample_base + lo, sample_base + hi)
-        rad, rad2, hits, z = carry
+        carries = run(carries, need, kr,
+                      sample_base + lo, sample_base + hi)
+        rad, rad2, hits, z = _assemble(carries)
         nsamples = nsamples + jnp.where(need, hi - lo, 0)
 
     order = jnp.asarray(pixel_order(scene.width, scene.height))
-    return lanes_to_pixels(rad, hits, z, nsamples, order)
+    return lanes_to_pixels(rad[:, :num_px], hits[:num_px], z[:num_px],
+                           nsamples[:num_px], order)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

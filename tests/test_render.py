@@ -74,18 +74,35 @@ def test_gamma_applied(small_scene):
 
 def test_multichip_dryrun_matches_singlechip():
     """shard_map render over the 8-device virtual CPU mesh == single-device
-    render (same seeds per sample index)."""
+    render: the sharded path IS renderer.adaptive_ladder/wave_contrib,
+    including the adaptive variance rungs (round-2 VERDICT #4 — the old
+    sharded loop was flat min_samples only)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     from rtf_tpu.parallel.mesh import make_mesh, render_sharded
+    from rtf_tpu.render.renderer import render_device_host
     scene = build_scene(box_scene(64, 48, with_mesh=False))
-    cfg = FAST
+    cfg = FAST.with_(min_samples=2, max_samples=4,
+                     variance_threshold=1e-4)   # adaptive escalation ON
     mesh = make_mesh(n_tile=4, n_spp=2)
-    rad, hits, z = render_sharded(scene, cfg, mesh, seed=0)
+    rad, hits, z, ns = render_sharded(scene, cfg, mesh, seed=0)
     rad = np.asarray(rad)
-    assert rad.shape == (64 * 48, 3)
+    assert rad.shape == (3, 64 * 48)
     assert np.isfinite(rad).all()
     assert (np.asarray(hits) >= 1).all()   # closed box: everything hits
+    ns = np.asarray(ns)
+    assert ns.min() == 2 and ns.max() == 4  # escalation happened
+
+    erad, ehits, ez, ens = render_device_host(
+        scene, cfg, jax.random.PRNGKey(0))
+    # FAST is RNG-free (hard shadows, both-split): identical waves; only
+    # the accumulation order differs (strided + psum vs sequential)
+    np.testing.assert_array_equal(np.asarray(ens), ns)
+    np.testing.assert_array_equal(np.asarray(ehits), np.asarray(hits))
+    # not bit-exact: accumulation order differs (strided + psum vs
+    # sequential) and XLA reassociates differently at shard shapes
+    np.testing.assert_allclose(np.asarray(erad), rad, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ez), np.asarray(z), atol=1e-5)
 
 
 def test_multichip_fused_matches_xla_sharded():
@@ -102,15 +119,74 @@ def test_multichip_fused_matches_xla_sharded():
                      shadow_min=1, shadow_max=1, gi_mode="none",
                      split_mode="rr")
     mesh = make_mesh(n_tile=2, n_spp=2, devices=jax.devices()[:4])
-    rad_f, hits_f, z_f = render_sharded(scene, cfg, mesh, seed=0,
-                                        fused=True)
-    rad_x, hits_x, z_x = render_sharded(scene, cfg, mesh, seed=0,
-                                        fused=False)
+    rad_f, hits_f, z_f, ns_f = render_sharded(scene, cfg, mesh, seed=0,
+                                              fused=True)
+    rad_x, hits_x, z_x, ns_x = render_sharded(scene, cfg, mesh, seed=0,
+                                              fused=False)
     np.testing.assert_array_equal(np.asarray(hits_f), np.asarray(hits_x))
+    np.testing.assert_array_equal(np.asarray(ns_f), np.asarray(ns_x))
     np.testing.assert_allclose(np.asarray(rad_f), np.asarray(rad_x),
                                atol=3e-4)
     np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_x),
                                atol=1e-4)
+
+
+def test_multichip_gi_caustics_matches_singlechip(small_scene):
+    """Photon-map GI + caustic grid on the sharded path == single-chip:
+    pm_direct with the exact grid gather (photon_volume off) is fully
+    deterministic given the grids, so the sharded render must reproduce
+    render_device_host bit-for-bit up to accumulation order (round-2
+    VERDICT #4: no caustic grid argument on the sharded side)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax as _jax
+    from rtf_tpu.parallel.mesh import make_mesh, render_sharded
+    from rtf_tpu.render.renderer import (
+        prepare_caustic_grid, prepare_photon_grid, render_device_host,
+    )
+    cfg = FAST.with_(gi_mode="pm_direct", photon_count=4096,
+                     photon_bounces=3, knn_radius=2.5, knn_k=32,
+                     caustic_count=4096, caustic_bounces=4,
+                     caustic_radius=2.0, photon_volume=False,
+                     hemisphere_samples=0)
+    grid = prepare_photon_grid(small_scene, cfg, _jax.random.PRNGKey(0))
+    cg = prepare_caustic_grid(small_scene, cfg, _jax.random.PRNGKey(0))
+    mesh = make_mesh(n_tile=4, n_spp=2)
+    rad, hits, z, ns = render_sharded(small_scene, cfg, mesh, seed=0,
+                                      gi_grid=grid, caustic_grid=cg)
+    erad, ehits, ez, ens = render_device_host(
+        small_scene, cfg, jax.random.PRNGKey(0), gi_grid=grid,
+        caustic_grid=cg)
+    np.testing.assert_array_equal(np.asarray(ehits), np.asarray(hits))
+    np.testing.assert_allclose(np.asarray(erad), np.asarray(rad),
+                               atol=5e-5, rtol=1e-4)
+    assert np.asarray(rad).mean() > 0.01   # the photon light is ON
+
+
+def test_xla_wavefront_lane_tiling_exact(small_scene, monkeypatch):
+    """Host-side lane tiling of the XLA wavefront (the fix that makes
+    full-feature configs viable at 800x600 on the tunneled TPU, round-2
+    VERDICT #5) is bit-exact vs the untiled loop, including a tiling
+    that needs lane padding."""
+    import jax as _jax
+    from rtf_tpu.render.renderer import render_device_host
+    cfg = FAST.with_(min_samples=2, max_samples=4,
+                     variance_threshold=1e-4)
+    key = _jax.random.PRNGKey(0)
+    base = render_device_host(small_scene, cfg, key)
+    # 64*48 = 3072 lanes; budget 1000 -> 3 exact 1024-lane tiles
+    monkeypatch.setenv("RTF_XLA_TILE_LANES", "1000")
+    tiled = render_device_host(small_scene, cfg, key)
+    for a, b in zip(base, tiled):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # 40x31 = 1240 lanes; budget 700 -> 2 x 1024 with 808 padded lanes
+    ragged = build_scene(box_scene(40, 31, with_mesh=False))
+    monkeypatch.delenv("RTF_XLA_TILE_LANES")
+    base_r = render_device_host(ragged, cfg, key)
+    monkeypatch.setenv("RTF_XLA_TILE_LANES", "700")
+    tiled_r = render_device_host(ragged, cfg, key)
+    for a, b in zip(base_r, tiled_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_render_gi_hemisphere_adds_bounce_light(small_scene):
