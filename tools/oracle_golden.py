@@ -88,8 +88,10 @@ def oracle_render(project: str, defines, scene: str, res=None) -> str:
     binary = build(project, tuple(defines))
     wd = os.path.dirname(binary)
     if res is not None:
-        scene = os.path.basename(_patch_resolution(
-            os.path.join(wd, scene), res))
+        # keep the scene's subdirectory (e.g. Final's data/scene_b.xml)
+        # so the oracle binary resolves it relative to its cwd
+        scene = os.path.relpath(_patch_resolution(
+            os.path.join(wd, scene), res), wd)
     out = os.path.join(wd, f"oracle_{os.path.basename(scene)}.png")
     keep = os.path.join(PERSIST, f"{os.path.basename(wd)}_"
                                  f"{os.path.basename(out)}")
