@@ -248,7 +248,8 @@ def cmd_watch(args):
                 _np.savez(state_path, rad=_np.asarray(rad),
                           hits=_np.asarray(hits), z=_np.asarray(z),
                           ns=_np.asarray(ns), done=done,
-                          pass_ix=pass_ix + 1, num_px=num_px)
+                          pass_ix=pass_ix + 1, num_px=num_px,
+                          width=scene.width, height=scene.height)
             dt = int(time.time() - t0)
             print(f"[{done}/{target} spp] {args.out} updated   "
                   "Render time is %d:%02d:%02d"
@@ -262,14 +263,55 @@ def cmd_watch(args):
 
 def cmd_preview(args):
     """Standalone flat-shaded scene preview — the GL pre-render
-    scene-graph view (ShowViewport, viewport.cpp:93-268) as a PNG."""
+    scene-graph view (ShowViewport, viewport.cpp:93-268) as a PNG.
+    When the camera has a lens, --dof-frames jittered frames are
+    accumulated (the viewport's 32-frame DOF GL preview,
+    viewport.cpp:76-80, 344-361)."""
     from rtf_tpu.render.renderer import preview
     from rtf_tpu.utils.png import write_png
 
     scene = _load(args.scene, args.width, args.height)
-    res = preview(scene)
+    res = preview(scene, dof_frames=args.dof_frames)
     write_png(args.out, res.image)
-    print(f"wrote {args.out} ({scene.width}x{scene.height})")
+    dof = f", dof x{args.dof_frames or 32}" if float(scene.dof) > 0 else ""
+    print(f"wrote {args.out} ({scene.width}x{scene.height}{dof})")
+    return 0
+
+
+def cmd_view(args):
+    """Mid-render view-mode switching — the viewport's 1-5 keys while a
+    render is in flight (GlutKeyboard, viewport.cpp:414-480).  Reads the
+    accumulator checkpoint that `watch --resume` rewrites after every
+    pass (in another terminal, while the render keeps running) and
+    writes any of the view modes from it: beauty image, z-buffer or
+    sample-count (ComputeZBufferImage / ComputeSampleCountImage,
+    scene.h:591-637)."""
+    import numpy as _np
+    import jax.numpy as jnp
+    from rtf_tpu.render.config import PROFILES
+    from rtf_tpu.render.renderer import finalize
+    from rtf_tpu.utils.image import sample_count_image, zbuffer_image
+    from rtf_tpu.utils.png import write_png
+
+    st = _np.load(args.state)
+    scene = _load(args.scene, int(st["width"]) if "width" in st else None,
+                  int(st["height"]) if "height" in st else None)
+    if int(st["num_px"]) != scene.width * scene.height:
+        print(f"state {args.state} has {int(st['num_px'])} pixels; scene "
+              f"is {scene.width}x{scene.height}", file=sys.stderr)
+        return 1
+    cfg = PROFILES[args.profile]
+    res = finalize(scene, cfg, jnp.asarray(st["rad"]),
+                   jnp.asarray(st["hits"]), jnp.asarray(st["z"]),
+                   jnp.asarray(st["ns"]))
+    mode = args.mode
+    if mode == "image":
+        write_png(args.out, res.image)
+    elif mode == "z":
+        write_png(args.out, zbuffer_image(res.z))
+    elif mode == "samplecount":
+        write_png(args.out, sample_count_image(res.sample_count))
+    print(f"wrote {args.out} ({mode} view at {int(st['done'])} spp)")
     return 0
 
 
@@ -360,7 +402,23 @@ def main(argv=None):
     pv.add_argument("--out", default="preview.png")
     pv.add_argument("--width", type=int)
     pv.add_argument("--height", type=int)
+    pv.add_argument("--dof-frames", type=int, default=0,
+                    help="lens-jittered preview frames when the camera "
+                         "has DOF (0 = auto: 32, matching the GL "
+                         "accumulation count)")
     pv.set_defaults(fn=cmd_preview)
+
+    vw = sub.add_parser("view", help="render a view mode from a watch "
+                        "checkpoint (mid-render view switching)")
+    vw.add_argument("scene")
+    vw.add_argument("state", help="the .state.npz that watch --resume "
+                    "rewrites after every pass")
+    vw.add_argument("--mode", default="image",
+                    choices=["image", "z", "samplecount"])
+    vw.add_argument("--profile", default="final",
+                    help="finalize profile (gamma)")
+    vw.add_argument("--out", default="view.png")
+    vw.set_defaults(fn=cmd_view)
 
     pb = sub.add_parser("probe", help="print color/z/samples at a pixel")
     pb.add_argument("scene")

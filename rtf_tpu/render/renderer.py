@@ -632,40 +632,69 @@ def render(scene, cfg: RenderConfig = RenderConfig(), seed: int = None,
     return finalize(scene, cfg, rad, hits, z, ns)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _preview_device(scene):
-    """One trace + flat shading: material base color x headlight
-    N.V term, no shadows / bounces / textures."""
+@functools.partial(jax.jit, static_argnames=("n_frames",))
+def _preview_device(scene, key=None, n_frames: int = 1):
+    """Flat-shaded preview trace: material base color x headlight N.V
+    term, no shadows / bounces / textures.  n_frames > 1 with a key
+    accumulates lens-disk-jittered frames — the DOF preview (the
+    viewport's 32-frame jittered GL accumulation, viewport.cpp:76-80,
+    344-361), as a lax.scan so the compiled size stays one frame."""
     from rtf_tpu.ops.texture import _sel_rows, sample_background
     from rtf_tpu.ops.trace import resolve_surface, trace
     from rtf_tpu.render.camera import primary_rays
     w, h = scene.width, scene.height
     num_px = w * h
     px, py = pixel_grid(w, h)
-    o, d = primary_rays(scene, px, py, jnp.zeros((num_px,), jnp.int32))
-    hit = trace(scene, o, d)
-    surf = resolve_surface(scene, o, d, hit)
-    kd = _sel_rows(scene.materials.diffuse, surf.mtl)
-    ndv = jnp.abs(jnp.sum(surf.n * (-d), axis=-1))[:, None]
-    col = kd * (0.25 + 0.75 * ndv)
-    uvw = jnp.stack([px.astype(jnp.float32) / w,
-                     py.astype(jnp.float32) / h,
-                     jnp.zeros((num_px,), jnp.float32)], axis=-1)
-    bg = sample_background(scene, uvw)
-    col = jnp.where(surf.valid[:, None], col, bg)
+
+    def frame(kf):
+        o, d = primary_rays(scene, px, py, jnp.zeros((num_px,), jnp.int32),
+                            key=kf, dof=kf is not None)
+        hit = trace(scene, o, d)
+        surf = resolve_surface(scene, o, d, hit)
+        kd = _sel_rows(scene.materials.diffuse, surf.mtl)
+        ndv = jnp.abs(jnp.sum(surf.n * (-d), axis=-1))[:, None]
+        col = kd * (0.25 + 0.75 * ndv)
+        uvw = jnp.stack([px.astype(jnp.float32) / w,
+                         py.astype(jnp.float32) / h,
+                         jnp.zeros((num_px,), jnp.float32)], axis=-1)
+        bg = sample_background(scene, uvw)
+        col = jnp.where(surf.valid[:, None], col, bg)
+        return col, jnp.where(surf.valid, surf.t, BIGFLOAT)
+
+    if n_frames <= 1 or key is None:
+        col, z = frame(key)
+    else:
+        def body(acc, kf):
+            col, z = frame(kf)
+            return (acc[0] + col, jnp.minimum(acc[1], z)), None
+        zero = (jnp.zeros((num_px, 3), jnp.float32),
+                jnp.full((num_px,), BIGFLOAT, jnp.float32))
+        (csum, z), _ = jax.lax.scan(body, zero,
+                                    jax.random.split(key, n_frames))
+        col = csum / float(n_frames)
     img8 = jnp.clip(jnp.floor(col * 255.0), 0, 255).astype(jnp.uint8)
-    return img8, jnp.where(surf.valid, surf.t, BIGFLOAT)
+    return img8, z
 
 
-def preview(scene) -> RenderResult:
+def preview(scene, dof_frames: int = 0, seed: int = 0) -> RenderResult:
     """Fast flat-shaded scene preview — the analog of the reference's
     GL-rasterized pre-render view (ShowViewport scene-graph display,
     viewport.cpp:93-268, GL lights/materials :538-677): one trace per
     pixel, material base colors with a headlight term, background on
     miss.  No shadow/secondary rays, so it returns in a single small
-    dispatch — what the user looks at while the real render compiles."""
+    dispatch — what the user looks at while the real render compiles.
+
+    dof_frames: when the camera has a lens (scene.dof > 0), accumulate
+    this many lens-jittered frames — the DOF-aware preview that the
+    reference draws by 32-frame jittered GL accumulation
+    (viewport.cpp:76-80, 344-361).  0 = auto (32 when scene.dof > 0)."""
     w, h = scene.width, scene.height
-    img8, z = _preview_device(scene)
+    if dof_frames == 0:
+        dof_frames = 32 if float(scene.dof) > 0 else 1
+    key = jax.random.PRNGKey(seed) if (
+        dof_frames > 1 and float(scene.dof) > 0) else None
+    img8, z = _preview_device(scene, key,
+                              n_frames=dof_frames if key is not None else 1)
     return RenderResult(
         image=np.asarray(img8).reshape(h, w, 3),
         radiance=np.asarray(img8).reshape(h, w, 3).astype(np.float32)

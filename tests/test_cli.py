@@ -100,3 +100,44 @@ def test_progress_callback_counts_waves():
     done, total = calls[-1]
     assert done == total == 2
     assert [c[0] for c in calls] == sorted(c[0] for c in calls)
+
+
+def test_cli_view_midrender(tmp_path):
+    """`view` renders any view mode from the checkpoint that watch
+    rewrites after every pass — mid-render view switching (the
+    viewport's 1-5 keys, viewport.cpp:414-480) without touching the
+    in-flight render."""
+    from rtf_tpu.cli import main
+    out = tmp_path / "r.png"
+    rc = main(["watch", SCENE, "--profile", "proj3", "--spp", "2",
+               "--width", "48", "--height", "36", "--out", str(out),
+               "--resume"])
+    assert rc == 0
+    state = str(tmp_path / "r.png.state.npz")
+    for mode in ("image", "z", "samplecount"):
+        view = tmp_path / f"v_{mode}.png"
+        rc = main(["view", SCENE, state, "--mode", mode,
+                   "--profile", "proj3", "--out", str(view)])
+        assert rc == 0 and view.exists()
+    from rtf_tpu.utils.png import read_png
+    # the image view from the checkpoint equals the watch output
+    np.testing.assert_array_equal(read_png(str(tmp_path / "v_image.png")),
+                                  read_png(str(out)))
+
+
+def test_preview_dof_accumulation():
+    """DOF preview: lens-jittered frame accumulation (the GL 32-frame
+    DOF preview, viewport.cpp:76-80,344-361) blurs out-of-focus
+    geometry relative to the pinhole preview, deterministically."""
+    from rtf_tpu.render.renderer import preview
+    from rtf_tpu.scene import build_scene, load_scene
+
+    desc = load_scene(SCENE)
+    desc.camera.width, desc.camera.height = 64, 48
+    desc.camera.dof = 0.4
+    scene = build_scene(desc)
+    pin = preview(scene, dof_frames=1)
+    blur = preview(scene, dof_frames=8)
+    blur2 = preview(scene, dof_frames=8)
+    np.testing.assert_array_equal(blur.image, blur2.image)
+    assert np.abs(pin.image.astype(int) - blur.image.astype(int)).mean() > 0.5
