@@ -64,6 +64,12 @@ class RenderConfig:
     # tile culls work on GI rays.  Fused paths only; the XLA
     # wavefront keeps the reference's independent sampling.
     gi_stratify: bool = True
+    # group hemisphere child rays by mesh-root-AABB interest (+ octant)
+    # before the child wave: a pure lane permutation that makes lane
+    # blocks homogeneous so the per-lane slab tile culls actually skip
+    # work on incoherent GI rays (profile: mesh sweeps are ~100% of the
+    # per-hemi-sample cost on scene_b).  Same rays, same estimator.
+    gi_mesh_sort: bool = True
 
     # ---- ray-differential texture filtering (opt-in quality; the
     # reference's Texture::Sample elliptic filter, scene.h:331-349 +

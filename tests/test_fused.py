@@ -427,3 +427,46 @@ def test_fused_checker_on_mesh_matches_xla():
               / (rad_f[changed, 1] + 1e-6))
     assert ratios.max() / ratios.min() > 1.3, \
         "only one checker cell color visible on the mesh"
+
+
+def test_gi_mesh_sort_is_pure_permutation():
+    """gi_mesh_sort groups child rays by mesh-root-AABB interest before
+    the child wave — a pure lane permutation, so on a deterministic
+    child wave (diffuse-only materials, size-0 light: no RR split, no
+    soft-shadow RNG) the unpermuted result must be BIT-IDENTICAL to the
+    unsorted run.  (On RNG-consuming configs only the per-lane draws
+    relabel; the estimator is unchanged.)"""
+    from rtf_tpu.render.fused import fused_gi_chunks, mxu_tables, scene_consts
+
+    desc = box_scene(width=32, height=24, with_mesh=True, mesh_subdiv=1)
+    # drop the specular spheres: the child wave must consume no RNG
+    desc.root.children = [c for c in desc.root.children
+                          if c.name not in ("mirror", "glass")]
+    del desc.materials["mirror"], desc.materials["glass"]
+    scene = build_scene(desc)
+    cfg = RenderConfig(min_samples=8, max_samples=8, bounces=2,
+                       shadow_min=1, shadow_max=1, gi_mode="hemisphere",
+                       hemisphere_samples=2, split_mode="rr")
+    n = scene.width * scene.height
+    order = jnp.asarray(pixel_order(scene.width, scene.height))
+    px, py = order % scene.width, order // scene.width
+    key = jax.random.PRNGKey(0)
+    o3, d3 = primary_rays_ch(scene, px, py, jnp.zeros_like(px), key=key)
+    alive = jnp.ones((n,), bool)
+    consts = scene_consts(scene)
+    tables = mxu_tables(scene)
+
+    from rtf_tpu.render.fused import fused_gi_primary
+    _, hit0, _, surf = fused_gi_primary(cfg, consts, o3, d3, alive,
+                                        jnp.int32(5),
+                                        mesh_tables=tables)
+    kgi = jax.random.PRNGKey(11)
+    args = (consts, surf, hit0, alive, jnp.int32(5), kgi,
+            jnp.int32(0), 2)
+    sorted_ = fused_gi_chunks(cfg, *args, mesh_tables=tables)
+    plain = fused_gi_chunks(cfg.with_(gi_mesh_sort=False), *args,
+                            mesh_tables=tables)
+    for c in range(3):
+        np.testing.assert_array_equal(np.asarray(sorted_[c]),
+                                      np.asarray(plain[c]))
+    assert float(sum(np.asarray(s).sum() for s in sorted_)) > 0
