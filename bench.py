@@ -125,6 +125,25 @@ def main():
     print(f"[bench] headline done at t={time.monotonic() - _T0:.0f}s",
           file=sys.stderr, flush=True)
 
+    # Regression tripwire (VERDICT r3 #6: a 31% drop shipped unnoticed
+    # because nothing compared against the prior round's driver record):
+    # the latest BENCH_r*.json is the ground truth of the last round.
+    try:
+        import glob
+        priors = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        if priors:
+            with open(priors[-1]) as f:
+                prior = json.load(f).get("parsed", {}).get("value")
+            if prior and mrays < 0.9 * float(prior):
+                print(f"[bench] WARNING: headline {mrays:.1f} Mrays/s is "
+                      f"{(1 - mrays / float(prior)) * 100:.0f}% below the "
+                      f"prior round's {prior} ({os.path.basename(priors[-1])})"
+                      " — investigate before shipping", file=sys.stderr,
+                      flush=True)
+    except Exception:
+        pass
+
     extras = {
         "frame_time_s": round(dt, 3),
         "resolution": f"{WIDTH}x{HEIGHT}",

@@ -16,6 +16,7 @@ ComputeSampleCountImage, scene.h:591-637) and prints the wall-clock
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -201,7 +202,10 @@ def cmd_watch(args):
                 done = int(st["done"])
                 pass_ix = int(st["pass_ix"])
                 print(f"resumed at {done} spp from {state_path}")
-        except (OSError, KeyError):
+        except Exception:
+            # a pre-atomic-write checkpoint could be a truncated npz
+            # (zipfile.BadZipFile, not just OSError/KeyError) — any
+            # unusable state means the same thing: start fresh
             print(f"no usable state at {state_path}; starting fresh")
 
     t0 = time.time()
@@ -245,11 +249,19 @@ def cmd_watch(args):
                 write_png(args.samplecount,
                           sample_count_image(res.sample_count))
             if args.resume or args.state:
-                _np.savez(state_path, rad=_np.asarray(rad),
+                # atomic checkpoint: `view` reads this file concurrently
+                # from another terminal, and a killed watch must never
+                # leave a truncated npz behind — write a temp file in
+                # the same directory and os.replace() it into place
+                # (ADVICE r3: in-place savez is truncate-then-write)
+                tmp_path = state_path + ".tmp.npz"
+                _np.savez(tmp_path, rad=_np.asarray(rad),
                           hits=_np.asarray(hits), z=_np.asarray(z),
                           ns=_np.asarray(ns), done=done,
                           pass_ix=pass_ix + 1, num_px=num_px,
-                          width=scene.width, height=scene.height)
+                          width=scene.width, height=scene.height,
+                          profile=args.profile)
+                os.replace(tmp_path, state_path)
             dt = int(time.time() - t0)
             print(f"[{done}/{target} spp] {args.out} updated   "
                   "Render time is %d:%02d:%02d"
@@ -293,14 +305,28 @@ def cmd_view(args):
     from rtf_tpu.utils.image import sample_count_image, zbuffer_image
     from rtf_tpu.utils.png import write_png
 
-    st = _np.load(args.state)
+    try:
+        st = _np.load(args.state)
+        num_px_st = int(st["num_px"])
+    except Exception as e:
+        # the writer replaces the file atomically, but a checkpoint from
+        # an older (in-place) watch can be truncated; don't traceback
+        print(f"checkpoint {args.state} busy/corrupt ({type(e).__name__});"
+              " retry after the next watch pass", file=sys.stderr)
+        return 1
     scene = _load(args.scene, int(st["width"]) if "width" in st else None,
                   int(st["height"]) if "height" in st else None)
-    if int(st["num_px"]) != scene.width * scene.height:
-        print(f"state {args.state} has {int(st['num_px'])} pixels; scene "
+    if num_px_st != scene.width * scene.height:
+        print(f"state {args.state} has {num_px_st} pixels; scene "
               f"is {scene.width}x{scene.height}", file=sys.stderr)
         return 1
-    cfg = PROFILES[args.profile]
+    # default to the profile the in-flight watch render used (saved in
+    # the checkpoint) so the finalize gamma matches the watch output;
+    # --profile stays as an explicit override (ADVICE r3)
+    profile = args.profile
+    if profile is None:
+        profile = str(st["profile"]) if "profile" in st else "final"
+    cfg = PROFILES[profile]
     res = finalize(scene, cfg, jnp.asarray(st["rad"]),
                    jnp.asarray(st["hits"]), jnp.asarray(st["z"]),
                    jnp.asarray(st["ns"]))
@@ -415,8 +441,9 @@ def main(argv=None):
                     "rewrites after every pass")
     vw.add_argument("--mode", default="image",
                     choices=["image", "z", "samplecount"])
-    vw.add_argument("--profile", default="final",
-                    help="finalize profile (gamma)")
+    vw.add_argument("--profile", default=None,
+                    help="finalize profile (gamma); default: the "
+                         "profile saved in the checkpoint")
     vw.add_argument("--out", default="view.png")
     vw.set_defaults(fn=cmd_view)
 

@@ -9,13 +9,33 @@ import os
 
 import jax
 
+
+def force_zlib_compression():
+    """Route persistent-cache entry compression through zlib.
+
+    The zstandard path segfaulted inside `put_executable_and_time`
+    while writing a large CPU-mesh executable (VERDICT r3 #7, observed
+    in jax/_src/compilation_cache.py:265) — a native crash no Python
+    guard can catch.  `compress_executable` falls back to zlib (stable,
+    stdlib) when both zstd modules are absent, so null them out.  Cache
+    dirs are suffixed so old zstd-compressed entries are never fed to
+    zlib.decompress."""
+    try:
+        import jax._src.compilation_cache as _cc
+        _cc.zstd = None
+        _cc.zstandard = None
+    except Exception:
+        pass
+
+
 # repo-local (gitignored) so the cache survives container restarts —
 # /tmp does not, and losing it costs multi-minute recompiles of the
 # photon pass + wave kernels on every entry point after a restart
 _DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    ".cache", "jax")
+                    ".cache", "jax_zlib")
 
 try:
+    force_zlib_compression()
     os.makedirs(_DIR, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -76,17 +76,53 @@ def sceneb(args):
     print(f"wrote {path}")
 
 
+def sceneb_volume(scene, cfg, seed: int = 7):
+    """The scene_b photon irradiance volume, cached ON DISK (committed
+    under artifacts/cache/): photon pass + volume bake are deterministic
+    given (seed, scene, photon_count, knn params), and rebuilding them
+    cost the round-3 bench extra its entire SIGALRM budget (VERDICT r3
+    #2 — the 573 s cap fired and nulled the flagship figure).  The
+    first call on the chip bakes and persists; every later bench run
+    (including the driver's fresh process) loads in milliseconds."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from rtf_tpu.gi.volume import IrradianceVolume, build_irradiance_volume
+    from rtf_tpu.render.renderer import prepare_photon_grid
+
+    cache_dir = os.path.join(REPO, "artifacts", "cache")
+    path = os.path.join(
+        cache_dir, f"sceneb_vol_p{cfg.photon_count}_k{cfg.knn_k}"
+                   f"_r{cfg.knn_radius:g}_s{seed}.npz")
+    if os.path.exists(path):
+        d = np.load(path)
+        return IrradianceVolume(table=jnp.asarray(d["table"]),
+                                origin=jnp.asarray(d["origin"]),
+                                dims=tuple(int(x) for x in d["dims"]),
+                                cell=float(d["cell"]))
+    grid = prepare_photon_grid(scene, cfg, jax.random.PRNGKey(seed))
+    vol = build_irradiance_volume(grid, cfg.knn_radius, cfg.knn_k,
+                                  scene.world_min, scene.world_max)
+    os.makedirs(cache_dir, exist_ok=True)
+    np.savez(path, table=np.asarray(vol.table),
+             origin=np.asarray(vol.origin),
+             dims=np.asarray(vol.dims, np.int32), cell=float(vol.cell))
+    return vol
+
+
 def sceneb_frame_time(width=800, height=600, spp=4, hemi=8,
                       photons=1_000_000) -> float:
     """Steady-state scene_b hybrid-GI frame time in seconds (the
     bench.py `sceneb_hybrid_gi_frame_time_s_800x600` extra).  Same
-    pipeline as `sceneb` minus the PNG artifact; restores cwd."""
+    pipeline as `sceneb` minus the PNG artifact; restores cwd.  The
+    photon volume comes from the disk cache (`sceneb_volume`), so a
+    cold bench process pays only compile (persistent XLA cache) +
+    warmup frame + the timed frame."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     from rtf_tpu.render.config import PROFILES
-    from rtf_tpu.render.renderer import (
-        prepare_photon_grid, render_device_host)
+    from rtf_tpu.render.renderer import render_device_host
     from rtf_tpu.scene import build_scene, load_scene
 
     cwd = os.getcwd()
@@ -98,13 +134,13 @@ def sceneb_frame_time(width=800, height=600, spp=4, hemi=8,
         cfg = PROFILES["final"].with_(
             split_mode="rr", min_samples=spp, max_samples=spp,
             hemisphere_samples=hemi, photon_count=photons)
-        grid = prepare_photon_grid(scene, cfg, jax.random.PRNGKey(7))
+        vol = sceneb_volume(scene, cfg)
         out = render_device_host(scene, cfg, jax.random.PRNGKey(0),
-                                 gi_grid=grid)  # compile + volume build
+                                 gi_grid=vol)  # compile + warmup
         np.asarray(jnp.isfinite(out[0]).all())
         t0 = time.perf_counter()
         out = render_device_host(scene, cfg, jax.random.PRNGKey(1),
-                                 gi_grid=grid)
+                                 gi_grid=vol)
         assert bool(np.asarray(jnp.isfinite(out[0]).all()))
         return round(time.perf_counter() - t0, 3)
     finally:
