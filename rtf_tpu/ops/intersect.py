@@ -24,30 +24,61 @@ from rtf_tpu.core.math import BIGFLOAT, cross, dot, normalize
 ZERO = 1e-3  # the reference's `zero`/`bias` epsilon for sphere/plane/triangle
 
 
-def intersect_sphere(o: jnp.ndarray, d: jnp.ndarray, t_prev: jnp.ndarray):
+def intersect_sphere(o: jnp.ndarray, d: jnp.ndarray, t_prev: jnp.ndarray,
+                     zero: float = ZERO, textbook: bool = False,
+                     minroot: bool = False):
     """Unit sphere at origin. Returns (t, front, valid).
 
     Mirrors Sphere::IntersectRay (objects.h:24-70): the discriminant is
-    compared against `zero` (not 0), a back hit is reported only when
+    compared against `zero`, a back hit is reported only when
     t2 < zero < t1, and the new hit must beat `t_prev`.
     """
-    # Re-origined stable quadratic: move the origin to the point of closest
-    # approach m = o + tc*d (the linear term vanishes there), which avoids
-    # the catastrophic cancellation of the textbook (-b±sqrt)/2a form for
-    # origins far from the unit sphere (the reference's walls are spheres
-    # scaled by 32 viewed from 60 units away).  disc here equals the
-    # reference's b^2-4ac exactly in real arithmetic.
     a = dot(d, d)
-    half_b = dot(o, d)
-    tc = -half_b / a
-    m = o + tc[..., None] * d
-    disc = 4.0 * a * (1.0 - dot(m, m))
-    s = jnp.sqrt(jnp.maximum(disc, 0.0)) / (2.0 * a)
-    t1 = tc + s
-    t2 = tc - s
-    has = disc >= ZERO
-    back = has & (t1 > ZERO) & (t2 < ZERO) & (t1 < t_prev)
-    frontal = has & (t1 > ZERO) & (t2 > ZERO) & (t2 < t_prev)
+    if textbook:
+        # Reference-exact op order (fidelity mode): b*b - 4ac exactly as
+        # Sphere::IntersectRay writes it.  Catastrophically cancels for
+        # far/scaled spheres — which is precisely why deterministic
+        # oracle comparisons need it: at `disc >= zero` the stable form
+        # below and this one legitimately disagree on grazing-tangent
+        # rays, flipping isolated silhouette/shadow pixels (prj3c).
+        c = dot(o, o) - 1.0
+        b = 2.0 * dot(o, d)
+        disc = b * b - 4.0 * a * c
+        s = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b + s) / (2.0 * a)
+        t2 = (-b - s) / (2.0 * a)
+    else:
+        # Re-origined stable quadratic (production): move the origin to
+        # the point of closest approach m = o + tc*d (the linear term
+        # vanishes there), which avoids the catastrophic cancellation of
+        # the textbook (-b±sqrt)/2a form for origins far from the unit
+        # sphere (the reference's walls are spheres scaled by 32 viewed
+        # from 60 units away).  disc here equals the reference's b^2-4ac
+        # exactly in real arithmetic.
+        half_b = dot(o, d)
+        tc = -half_b / a
+        m = o + tc[..., None] * d
+        disc = 4.0 * a * (1.0 - dot(m, m))
+        s = jnp.sqrt(jnp.maximum(disc, 0.0)) / (2.0 * a)
+        t1 = tc + s
+        t2 = tc - s
+    # `zero` is era-dependent: Proj3/4 compare against literal 0
+    # (insqrt>=0, z<0 reject — Proj3 objects.h/main.cpp), Proj5+ use
+    # 0.001f; a 1e-3 floor on the discriminant visibly clips ~1 px of
+    # silhouette at 800x600 (prj3c was losing the spheres' top rows)
+    has = disc >= zero
+    if minroot:
+        # Proj3-era rule: z = min(t1,t2), rejected when z < 0 — the
+        # sphere NEVER reports back hits (Proj3 main.cpp
+        # Sphere::IntersectRay).  Without this, a shadow ray leaving a
+        # sphere's own surface registers the t1~1e-5 exit root as an
+        # occluder (> the 1e-14 shadow bias) and the sphere
+        # self-shadows everywhere the reference renders it lit.
+        back = jnp.zeros_like(has)
+        frontal = has & (t2 >= zero) & (t2 < t_prev)
+    else:
+        back = has & (t1 > zero) & (t2 < zero) & (t1 < t_prev)
+        frontal = has & (t1 > zero) & (t2 > zero) & (t2 < t_prev)
     t = jnp.where(frontal, t2, jnp.where(back, t1, BIGFLOAT))
     valid = frontal | back
     return t, frontal, valid

@@ -243,7 +243,15 @@ def trace(scene, o: jnp.ndarray, d: jnp.ndarray) -> Hit:
     """Closest hit of world rays (o, d) against the whole scene."""
     n = o.shape[0]
     hit = _empty_hit(n)
-    hit = _scan_group(scene.spheres, o, d, hit, KIND_SPHERE, intersect_sphere)
+    # era-dependent sphere epsilon (Proj3/4: 0; Proj5+: 1e-3) — a
+    # static GpuScene field set from the profile by the renderer
+    zero = float(getattr(scene, "isect_zero", 1e-3))
+    tb = bool(getattr(scene, "ref_exact", False))
+    mr = bool(getattr(scene, "sphere_minroot", False))
+    hit = _scan_group(scene.spheres, o, d, hit, KIND_SPHERE,
+                      lambda lo, ld, tp: intersect_sphere(
+                          lo, ld, tp, zero=zero, textbook=tb,
+                          minroot=mr))
     hit = _scan_group(scene.planes, o, d, hit, KIND_PLANE, intersect_plane)
 
     if scene.mesh is not None and scene.num_mesh_inst > 0:
@@ -372,6 +380,22 @@ def resolve_surface(scene, o, d, hit: Hit) -> Surface:
         uvw = jnp.where(mask, luv, uvw)
         mtl = jnp.where(hit.kind == KIND_MESH,
                         an[:, 9].astype(jnp.int32), mtl)
+        # Mesh hit POINT from the barycentric vertex combination in node
+        # space, pushed to world through the forward transform — exactly
+        # the reference's `hInfo.p = alpha*A + beta*B + gamma*C` +
+        # FromNodeCoords (Proj13 objects.h:199, scene.h:509-513).  The
+        # ray-parameterized o + t*d point drifts off the surface by
+        # ~t*ulp/sin(theta) at grazing incidence (t~64 in the prj13 box
+        # scene => ~1e-4 world units), which shifted shadow-ray origins
+        # at the teapot's self-shadowing terminator and flipped
+        # visibility at the exact boundary pixels (GOLDENS.md prj13c
+        # decomposition); the on-surface point kills that drift class.
+        p_node = (mesh.tri_a[f] * ba + mesh.tri_b[f] * bb
+                  + mesh.tri_c[f] * bc)
+        fwd = _sel_rows(scene.mesh_inst.tm, hit.inst)
+        ipos = _sel_rows(scene.mesh_inst.pos, hit.inst)
+        pw = mat3_apply_batched(fwd, p_node) + ipos
+        p_world = jnp.where(mask & hit.is_hit[:, None], pw, p_world)
 
     return Surface(p=p_world, n=nrm_w, uvw=uvw, mtl=mtl,
                    front=hit.front, t=hit.t, valid=hit.is_hit)

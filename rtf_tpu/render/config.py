@@ -27,6 +27,25 @@ class RenderConfig:
     # ---- recursion
     bounces: int = 4                # BOUNCE
 
+    # ---- intersection epsilon era (sphere `zero`): Proj3/4 compare
+    # the discriminant and t against literal 0 (Proj3 objects.h sphere),
+    # Proj5+ against 0.001f — at 800x600 the 1e-3 floor clips ~1 px of
+    # sphere silhouette, which is visible in deterministic 1-spp
+    # comparisons (prj3c)
+    isect_zero: float = 1e-3
+    # fidelity switch: reference-exact intersection arithmetic — the
+    # textbook sphere quadratic in the reference's op order (see
+    # ops/intersect.py::intersect_sphere) AND secondary/shadow rays
+    # shot from the hit point itself (the reference's bias is 0/1e-14,
+    # relying on the per-primitive t epsilon) instead of the
+    # normal-offset origin.  Oracle-comparison profiles only; leave
+    # False for production (the stable quadratic + offset origin are
+    # strictly more robust at grazing incidence / large scene scales)
+    ref_exact: bool = False
+    # Proj3-era sphere hit policy: z = min(t1,t2), rejected when z < 0
+    # (no back hits at all — Proj3 main.cpp Sphere::IntersectRay)
+    sphere_minroot: bool = False
+
     # ---- direct lighting
     light_average: bool = True      # Final's coef = 1/numLights (main.cpp:545)
     inverse_square: bool = True     # point-light 1/r^2 falloff (lights.h:130)
@@ -116,7 +135,9 @@ PROFILES = {
     # Proj3: primary + Blinn + hard shadows, 1 spp, no gamma, no recursion
     "proj3": RenderConfig(min_samples=1, max_samples=1, bounces=0,
                           light_average=False, inverse_square=False,
-                          shadow_min=1, shadow_max=1, gamma=0.0),
+                          shadow_min=1, shadow_max=1, gamma=0.0,
+                          isect_zero=0.0, ref_exact=True,
+                          sphere_minroot=True),
     # Proj4-6: + reflections/refractions (Whitted), still 1 spp
     "proj5": RenderConfig(min_samples=1, max_samples=1, bounces=5,
                           light_average=False, inverse_square=False,

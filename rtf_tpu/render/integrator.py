@@ -180,12 +180,14 @@ def shade_lanes(scene, cfg, o, d, tput, absorb, pixel, alive, rtype,
     thr = cfg.color_threshold
     r_go = hit_mask & (jnp.max(fr.r_k, axis=-1) > thr)
     t_go = hit_mask & (jnp.max(fr.t_k, axis=-1) > thr)
-    refl = RayQueue(o=offset_origin(surf.p, surf.n, fr.r_dir),
+    _off = (lambda p, n, d: p) if getattr(scene, "ref_exact", False) \
+        else offset_origin
+    refl = RayQueue(o=_off(surf.p, surf.n, fr.r_dir),
                     d=fr.r_dir, tput=k_eff * fr.r_k,
                     absorb=mtl.absorption, pixel=pixel,
                     rtype=jnp.full(pixel.shape, RT_REFLECT, jnp.int32),
                     alive=r_go)
-    refr = RayQueue(o=offset_origin(surf.p, surf.n, fr.t_dir),
+    refr = RayQueue(o=_off(surf.p, surf.n, fr.t_dir),
                     d=fr.t_dir, tput=k_eff * fr.t_k,
                     absorb=mtl.absorption, pixel=pixel,
                     rtype=jnp.full(pixel.shape, RT_REFRACT, jnp.int32),

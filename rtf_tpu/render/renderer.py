@@ -414,6 +414,14 @@ def render_device_host(scene, cfg: RenderConfig, key, gi_grid=None,
     pipelining is traded for honest progress), so leave it None on
     throughput-critical paths."""
     num_px = scene.width * scene.height
+    if (float(cfg.isect_zero) != float(scene.isect_zero)
+            or bool(cfg.ref_exact) != bool(scene.ref_exact)
+            or bool(cfg.sphere_minroot) != bool(scene.sphere_minroot)):
+        # era/fidelity intersection statics travel on the scene so
+        # trace() sees them without a cfg plumb-through (Proj3/4: 0)
+        scene = scene.replace(isect_zero=float(cfg.isect_zero),
+                              ref_exact=bool(cfg.ref_exact),
+                              sphere_minroot=bool(cfg.sphere_minroot))
     k1, k2 = jax.random.split(key)
 
     fused_consts = None

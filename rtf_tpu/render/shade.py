@@ -88,9 +88,15 @@ def _point_shadow(scene, p, n, lpos, size, nsamp, key, active):
     """Mean shadow over `nsamp` disk samples of the light sphere
     (lights.h:92-107), correct disk offsets in the (v1,v2) basis.
     Shadow rays use unnormalized dir = target - p with t_max = 1."""
+    # ref_exact: the reference shoots Shadow(Ray(p, pos-p), 1) from the
+    # hit point itself (bias 1e-14) — the normal-offset origin shifts
+    # the terminator by ~eps/tan(grazing angle), visibly in 1-spp
+    # oracle comparisons (prj3c)
+    _off = (lambda p, n, d: p) if getattr(scene, "ref_exact", False) \
+        else offset_origin
     if nsamp <= 1 or not scene.any_soft_light:
         d = lpos - p
-        return trace_shadow(scene, offset_origin(p, n, d), d, 1.0)
+        return trace_shadow(scene, _off(p, n, d), d, 1.0)
     dirv = lpos - p
     v1, v2 = _point_light_basis(dirv)
     acc = jnp.zeros(p.shape[0], p.dtype)
@@ -101,7 +107,7 @@ def _point_shadow(scene, p, n, lpos, size, nsamp, key, active):
         ang = jax.random.uniform(k2, (p.shape[0],)) * (2.0 * jnp.pi)
         off = v1 * (r * jnp.cos(ang))[:, None] + v2 * (r * jnp.sin(ang))[:, None]
         d = lpos + off - p
-        acc = acc + trace_shadow(scene, offset_origin(p, n, d), d, 1.0)
+        acc = acc + trace_shadow(scene, _off(p, n, d), d, 1.0)
     return acc / float(nsamp)
 
 
@@ -127,7 +133,9 @@ def direct_lighting(scene, cfg, surf, mtl: MtlSample, view: jnp.ndarray,
             ldir = scene.lights.direction[li]
             sdir = jnp.broadcast_to(-ldir, surf.p.shape)
             shadow = trace_shadow(
-                scene, offset_origin(surf.p, surf.n, sdir), sdir, BIGFLOAT)
+                scene,
+                surf.p if getattr(scene, "ref_exact", False)
+                else offset_origin(surf.p, surf.n, sdir), sdir, BIGFLOAT)
             illum = shadow[:, None] * intensity[None, :]
             l_vec = jnp.broadcast_to(-ldir, surf.p.shape)
         else:  # point

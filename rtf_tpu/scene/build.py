@@ -44,6 +44,9 @@ class InstanceGroup:
     nrm: jnp.ndarray       # [K,3,3]
     mtl: jnp.ndarray       # [K] int32 global material id
     mesh_slot: jnp.ndarray  # [K] int32 (mesh group only; else zeros)
+    # local->world forward matrix (Transformation::TransformFrom) —
+    # needed to reconstruct node-space mesh hit points in world space
+    tm: jnp.ndarray = None  # [K,3,3]
 
 
 @struct.dataclass
@@ -180,6 +183,17 @@ class GpuScene:
     # (subset of ("diffuse", "specular") — the ones MtlBlinn::Shade
     # samples with uvw, Final/main.cpp:531-532)
     tm_channels: tuple = struct.field(pytree_node=False, default=())
+    # era-dependent intersection epsilon for spheres (Proj3/4 compare
+    # the discriminant and t against 0, Proj5+ against 0.001f) — set
+    # from RenderConfig.isect_zero by the renderer entry points
+    isect_zero: float = struct.field(pytree_node=False, default=1e-3)
+    # fidelity mode: evaluate the sphere quadratic in the reference's
+    # exact (cancellation-prone) op order so deterministic oracle
+    # comparisons agree at grazing-tangent pixels; production keeps the
+    # stable re-origined form (ops/intersect.py)
+    ref_exact: bool = struct.field(pytree_node=False, default=False)
+    # Proj3-era sphere hit policy: min root only, no back hits
+    sphere_minroot: bool = struct.field(pytree_node=False, default=False)
 
 
 # --------------------------------------------------------------------------
@@ -247,6 +261,7 @@ class _Builder:
                     "itm": world_t.inv.astype(F32),
                     "pos": world_t.pos.astype(F32),
                     "nrm": world_t.inv.T.astype(F32),
+                    "tm": world_t.m.astype(F32),
                     "mtl": mtl_id,
                     "mesh_slot": 0,
                 }
@@ -309,13 +324,15 @@ class _Builder:
             return InstanceGroup(
                 itm=jnp.zeros((0, 3, 3), F32), pos=jnp.zeros((0, 3), F32),
                 nrm=jnp.zeros((0, 3, 3), F32), mtl=jnp.zeros(0, I32),
-                mesh_slot=jnp.zeros(0, I32))
+                mesh_slot=jnp.zeros(0, I32),
+                tm=jnp.zeros((0, 3, 3), F32))
         return InstanceGroup(
             itm=jnp.asarray(np.stack([e["itm"] for e in g])),
             pos=jnp.asarray(np.stack([e["pos"] for e in g])),
             nrm=jnp.asarray(np.stack([e["nrm"] for e in g])),
             mtl=jnp.asarray(np.array([e["mtl"] for e in g], I32)),
             mesh_slot=jnp.asarray(np.array([e["mesh_slot"] for e in g], I32)),
+            tm=jnp.asarray(np.stack([e["tm"] for e in g])),
         )
 
     def pack_meshes(self) -> Optional[MeshArena]:

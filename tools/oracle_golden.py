@@ -54,11 +54,23 @@ CASES = {
                 "hemisphere_samples": 0,
                 "light_average": False,
                 "shadow_min": 4, "shadow_max": 4,
-                "split_mode": "both"}, (400, 300)),
+                "split_mode": "both",
+                # reference-exact arithmetic: textbook sphere quadratic
+                # + shadow/secondary rays from the hit point itself
+                # (round-4: the offset origin shifted the teapot's
+                # self-shadow terminator by ~half a pixel — the top-MSE
+                # cluster of the 0.001065 round-3 record)
+                "ref_exact": True}, (400, 300)),
     # Proj7: deterministic 1 spp (pixel centers, no AA, no RNG).
     # proj7 profile: Proj7's SampleEnvironment is the one era with
     # Euclidean xy normalization (env_l2).
     "prj7c": ("RayTracingProj7", (), "scene.xml", "proj7", {}, None),
+    # Proj3: the era-1 feature stack (spheres + transforms + Blinn +
+    # ambient/point lights + hard shadows) at 1 spp pixel centers —
+    # FULLY deterministic on both sides (no AA, no RNG, no meshes, no
+    # secondary rays), so no terminator-amplified float chaos: the
+    # cleanest apples-to-apples SHADING comparison (VERDICT r3 #5).
+    "prj3c": ("RayTracingProj3", (), "input2.xml", "proj3", {}, None),
 }
 
 # oracle renders are hours of single-core work; persist them in the
