@@ -132,11 +132,21 @@ def render_sharded(scene, cfg, mesh: Mesh, seed: int = 0,
         out_specs=(P(None, "tile"), P("tile"), P("tile"), P("tile")),
     )
     def shard_fn(key, pix):
+        kw = dict(wave_kwargs)
+        if fused:
+            # this tile's first GLOBAL block: keeps in-kernel RNG
+            # streams identical to the single-device kernel (exactly
+            # so when the shard lane count is a BLOCK multiple; the
+            # padding tail of each shard draws from its own blocks
+            # otherwise — decorrelated either way)
+            from rtf_tpu.render.fused import BLOCK, _pad_blocks
+            nblk_shard = _pad_blocks(pix.shape[0]) // BLOCK
+            kw["blk0"] = jax.lax.axis_index("tile") * nblk_shard
         return adaptive_ladder(
             scene, cfg, pix % w, pix // w, key,
             spp_rank=jax.lax.axis_index("spp"), n_spp=n_spp,
             psum_axis="spp", vary_axes=tuple(mesh.axis_names),
-            **wave_kwargs)
+            **kw)
 
     key = jax.random.PRNGKey(seed)
     rad, hits, z, ns = jax.jit(shard_fn)(key, order)

@@ -87,7 +87,15 @@ class RenderConfig:
     # before the child wave: a pure lane permutation that makes lane
     # blocks homogeneous so the per-lane slab tile culls actually skip
     # work on incoherent GI rays (profile: mesh sweeps are ~100% of the
-    # per-hemi-sample cost on scene_b).  Same rays, same estimator.
+    # per-hemi-sample cost on scene_b).  Same rays, same estimator —
+    # but NOT the same RNG streams: in-kernel streams are keyed on
+    # (block seed, lane position), so the permutation reassigns them,
+    # and block composition changes which blocks escalate the
+    # block-adaptive shadow sampling (shadow_max fires only for blocks
+    # containing penumbra lanes).  Toggling this therefore shifts
+    # RNG-consuming renders at the noise level (unbiased); don't read
+    # golden-image diffs or resumed checkpoints that mix the two
+    # settings as regressions (ADVICE r3).
     gi_mesh_sort: bool = True
 
     # ---- ray-differential texture filtering (opt-in quality; the

@@ -1130,7 +1130,7 @@ def _out_rows(nbounce, surf_out, gi_from):
 
 
 def _wave_kernel(seed_ref, rays_ref, *refs, consts, cfg_c, nbounce,
-                 use_pid=True, surf_out=False, gi_from=None,
+                 surf_out=False, gi_from=None,
                  has_mesh_tables=False, stream_mesh=False):
     """The whole wave (all bounces) in one launch: ray state lives in
     registers across the lax.fori_loop, so there is no queue traffic at
@@ -1155,9 +1155,14 @@ def _wave_kernel(seed_ref, rays_ref, *refs, consts, cfg_c, nbounce,
     else:
         out_ref, st = refs
         mesh_refs = None
-    # per-block seed: program_id is unavailable in interpret mode, where
-    # a shared seed is acceptable (tests only)
-    seed0 = seed_ref[0, 0] + (pl.program_id(0) * 7919 if use_pid else 0)
+    # per-block seed keyed on the GLOBAL block id: seed_ref[0,1] is the
+    # caller's block offset (a sharded launch passes its tile's first
+    # global block), so per-lane RNG streams are invariant under tile
+    # sharding — render_sharded(fused) reproduces the single-device
+    # kernel exactly when shard lane counts are BLOCK multiples
+    # (test_multichip_fused_rr_bounces_matches_singledevice).
+    # program_id works in interpret mode too (verified round 4).
+    seed0 = seed_ref[0, 0] + (seed_ref[0, 1] + pl.program_id(0)) * 7919
     shape = (SUB, TRI_LANES)
     sh = rays_ref[0]                       # [16, 8, 128]
     any_alive = jnp.max(sh[R_ALIVE]) > 0.0
@@ -1603,7 +1608,8 @@ def _pack_rays_sh(cols):
 
 def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None,
                tput3=None, absorb3=None, rtype=None,
-               surf_out=False, gi_from=None, mesh_tables=None):
+               surf_out=False, gi_from=None, mesh_tables=None,
+               blk0=0):
     """Full wave: primary rays (channel tuples of [n0]) ->
     ((r, g, b) channel arrays [n0], hit [n0], z [n0]).  ONE kernel launch
     runs all bounces; lane order is plain ray order (reshape-packed).
@@ -1655,13 +1661,16 @@ def fused_wave(cfg, consts, o3, d3, alive, seed, bounces=None,
                  shadow_min_samples=cfg.shadow_min)
     stream = _stream_tables(mesh_tables)
     kern = functools.partial(_wave_kernel, consts=consts, cfg_c=cfg_c,
-                             nbounce=nbounce, use_pid=not interpret,
+                             nbounce=nbounce,
                              surf_out=surf_out, gi_from=gi_from,
                              has_mesh_tables=mesh_tables is not None,
                              stream_mesh=stream)
-    seeds = jnp.full((1, 1), seed, jnp.int32)
+    # [seed, global block offset] — see _wave_kernel's seed0
+    seeds = jnp.stack([jnp.asarray(seed, jnp.int32).reshape(()),
+                       jnp.asarray(blk0, jnp.int32).reshape(())]
+                      ).reshape(1, 2)
     in_specs = [
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         _blk4(16),
     ]
     args = [seeds, rays_sh]

@@ -91,7 +91,8 @@ class RenderResult(NamedTuple):
 
 def wave_contrib(scene, cfg, px, py, mask_lanes, key, j, gi_grid=None,
                  fused_consts=None, gi_vol=None, mesh_tables=None,
-                 caustic_grid=None, caustic_vol=None, fused_mode="mono"):
+                 caustic_grid=None, caustic_vol=None, fused_mode="mono",
+                 blk0=0):
     """One sample wave for an ARBITRARY set of lanes (px/py are the
     lanes' pixel coordinates): returns (contrib [3,n], hit_count [n],
     z_min [n]) in lane space.
@@ -122,9 +123,12 @@ def wave_contrib(scene, cfg, px, py, mask_lanes, key, j, gi_grid=None,
                     cfg, fused_consts.obj, o3, d3, mask_lanes,
                     seed32.astype(jnp.int32), mesh_tables=mesh_tables)
             else:
+                # blk0: a sharded launch passes its tile's first global
+                # block so in-kernel RNG streams are sharding-invariant
                 rad3, hitl, zl = fused_wave(
                     cfg, fused_consts.obj, o3, d3, mask_lanes,
-                    seed32.astype(jnp.int32), mesh_tables=mesh_tables)
+                    seed32.astype(jnp.int32), mesh_tables=mesh_tables,
+                    blk0=blk0)
         else:
             rad3, hitl, zl = fused_gi_wave(
                 cfg, fused_consts.obj, o3, d3, mask_lanes,
