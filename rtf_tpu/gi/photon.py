@@ -145,19 +145,45 @@ def _rr_bounce(scene, cfg, surf, mtl, d_in, key):
 
 
 def shoot_photons(scene, cfg, n_emit: int, capacity: int, key,
-                  caustic_only: bool = False):
+                  caustic_only: bool = False, chunk: int = 131072):
     """Emit n_emit photons and bounce up to cfg.photon_bounces times.
 
     Returns a PhotonMapData with powers scaled by 4*pi / count.
     caustic_only: store only photons whose path crossed >= 2 specular
     segments before landing on a diffuse surface (Proj13 CausticTracing).
 
-    Jit-compiled as ONE program: the eager version paid the tunneled
-    backend's per-op latency hundreds of times per bounce (170 s for a
-    100k-photon pass that computes in a few seconds).
+    Jit-compiled per EMISSION CHUNK: one program per `chunk` emissions,
+    host loop over chunks, the store buffer carried across dispatches.
+    A single 1M-emission program OOMs the chip — XLA materializes
+    [N,1] keepdims temporaries with T(8,128) layout padding (128x,
+    488 MB each) inside the bounce loop (observed round 4); at 128k
+    lanes the same temps are 64 MB and the pass fits comfortably.
+    (The eager version is far worse again: per-op tunnel latency
+    hundreds of times per bounce.)
     """
-    return _shoot_photons_jit(scene, cfg, int(n_emit), int(capacity),
-                              key, bool(caustic_only))
+    n_emit, capacity = int(n_emit), int(capacity)
+    buf = PhotonMapData(
+        pos=jnp.zeros((capacity, 3), jnp.float32),
+        dir=jnp.zeros((capacity, 3), jnp.float32),
+        power=jnp.zeros((capacity, 3), jnp.float32),
+        count=jnp.zeros((), jnp.int32))
+    done = 0
+    i = 0
+    while done < n_emit:
+        nc = min(int(chunk), n_emit - done)
+        buf = _shoot_photons_batch(scene, cfg, nc, capacity,
+                                   jax.random.fold_in(key, i),
+                                   bool(caustic_only), buf)
+        done += nc
+        i += 1
+    # ScalePhotonPowers(4 pi / numStored) (main.cpp:396)
+    return _scale_powers(buf)
+
+
+@jax.jit
+def _scale_powers(buf):
+    cnt = jnp.maximum(buf.count, 1).astype(jnp.float32)
+    return buf._replace(power=buf.power * (4.0 * jnp.pi / cnt))
 
 
 import functools
@@ -165,8 +191,8 @@ import functools
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_emit", "capacity",
                                              "caustic_only"))
-def _shoot_photons_jit(scene, cfg, n_emit: int, capacity: int, key,
-                       caustic_only: bool = False):
+def _shoot_photons_batch(scene, cfg, n_emit: int, capacity: int, key,
+                         caustic_only: bool, buf: "PhotonMapData"):
     photon_lights = [i for i, k in enumerate(scene.light_kinds)
                      if k != "ambient"]
     assert photon_lights, "no photon-emitting lights in scene"
@@ -180,12 +206,6 @@ def _shoot_photons_jit(scene, cfg, n_emit: int, capacity: int, key,
     power = scene.lights.intensity[pick]
     alive = jnp.ones((n_emit,), bool)
     spec_count = jnp.zeros((n_emit,), jnp.int32)
-
-    buf = PhotonMapData(
-        pos=jnp.zeros((capacity, 3), jnp.float32),
-        dir=jnp.zeros((capacity, 3), jnp.float32),
-        power=jnp.zeros((capacity, 3), jnp.float32),
-        count=jnp.zeros((), jnp.int32))
 
     bounces = cfg.caustic_bounces if caustic_only else cfg.photon_bounces
     for b in range(bounces + 1):
@@ -225,7 +245,4 @@ def _shoot_photons_jit(scene, cfg, n_emit: int, capacity: int, key,
         o = offset_origin(surf.p, surf.n, new_dir)
         d = new_dir
 
-    # ScalePhotonPowers(4 pi / numStored) (main.cpp:396)
-    cnt = jnp.maximum(buf.count, 1).astype(jnp.float32)
-    scale = 4.0 * jnp.pi / cnt
-    return buf._replace(power=buf.power * scale)
+    return buf
