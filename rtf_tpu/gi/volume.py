@@ -50,12 +50,29 @@ def build_irradiance_volume(grid: PhotonGrid, radius: float, k: int,
                             cell: float = None,
                             filter_type: int = 0,
                             max_per_cell: int = None,
-                            chunk: int = 65536) -> IrradianceVolume:
+                            chunk: int = 65536,
+                            occ_cap: int = 2048) -> IrradianceVolume:
     """Evaluate estimate_irradiance at every corner of a world-space grid.
 
     cell defaults to the search radius (the field cannot vary faster than
     the estimator's own support).  Corner counts are (dims+1) per axis.
+
+    occ_cap: before estimating, thin cells denser than this with the
+    UNBIASED power-rescaled cap (grid.cap_occupancy) — a 1M-photon
+    scene concentrates tens of thousands of photons in single cells,
+    and the exact truncation-free gather then runs 27*occupancy
+    sequential loop iterations per pass in one dispatch (a worker-
+    killing hours-long program).  The bake resolves nothing finer than
+    trilinear-at-cell-size anyway, so the cap's only effect is extra
+    smoothing inside ultra-dense cells.  None disables.
     """
+    if occ_cap is not None and grid.max_occupancy > occ_cap:
+        from rtf_tpu.gi.grid import cap_occupancy
+        # the cap must stay comfortably above k: a capped cell with
+        # fewer than k photons would drop the estimator from the kNN
+        # regime into the radius-fallback regime, which measures a
+        # different (boundary-truncated) quantity at surface edges
+        grid = cap_occupancy(grid, max(int(occ_cap), 2 * int(k)))
     if cell is None:
         cell = float(radius)
     bounds_min = np.asarray(bounds_min, np.float32)
