@@ -17,19 +17,18 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# persistent compile cache: re-runs of the suite skip recompilation.
-# Compression forced to zlib — the zstandard writer segfaulted on a
-# large CPU-mesh executable mid-suite (VERDICT r3 #7); fresh dir so old
-# zstd entries are never read back through zlib.
-os.makedirs("/tmp/rtf_jax_cache_zlib", exist_ok=True)
+# NO persistent compile cache for the suite: the XLA:CPU cache write
+# segfaults inside `executable.serialize()` on large CPU-mesh
+# executables (VERDICT r3 #7; reproduced round 4 at 70% of a full run
+# — the round-3 zlib rerouting treated the wrong frame, the fault is
+# CPU AOT serialization itself, and its loader warns SIGILL-class
+# machine-feature mismatches on readback).  CPU recompiles cost the
+# suite a few minutes; a nondeterministic mid-suite segfault costs the
+# whole run.  The cache stays on for tunneled-TPU entry points only
+# (tools/cache.py).
 import jax  # noqa: E402
 
-from tools.cache import force_zlib_compression  # noqa: E402
-
-force_zlib_compression()
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/rtf_jax_cache_zlib")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 REFERENCE = "/root/reference"
 

@@ -34,10 +34,19 @@ def force_zlib_compression():
 _DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     ".cache", "jax_zlib")
 
-try:
-    force_zlib_compression()
-    os.makedirs(_DIR, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-except Exception:
-    pass   # cache is an optimization; never fail an entry point over it
+# TPU entry points only.  On XLA:CPU the cache write segfaults inside
+# `executable.serialize()` itself (jax compilation_cache.py:265 — the
+# round-3 crash; the zlib rerouting treated the wrong frame, the fault
+# is CPU AOT serialization of large executables, and its loader also
+# warns about machine-feature mismatches / SIGILL on readback).  CPU
+# compiles here are cheap; the multi-minute compiles the cache exists
+# for are the tunneled-TPU ones.  tools/cpu.py sets JAX_PLATFORMS=cpu
+# before importing us, so the env is the reliable pre-init signal.
+if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    try:
+        force_zlib_compression()
+        os.makedirs(_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass   # cache is an optimization; never fail an entry point over it
