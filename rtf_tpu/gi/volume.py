@@ -29,6 +29,8 @@ cfg.photon_volume=False to fall back to exact per-point gathers.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -90,12 +92,21 @@ def build_irradiance_volume(grid: PhotonGrid, radius: float, k: int,
     corners = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
     corners = corners * cell + bounds_min
 
+    # materialized estimator, small query chunks: ~27*occupancy
+    # candidates per query as ONE wide tensor op per chunk (gather +
+    # top_k + masked reductions) — a handful of short massively-
+    # parallel dispatches.  The previous per-photon fori_loop gather
+    # was a single dispatch with a 27*occupancy-long serial chain,
+    # which exceeded the tunneled TPU worker's runtime tolerance and
+    # crashed it (round 4) — serial loops over photons are a CPU
+    # design; the TPU-native shape is materialize-and-reduce.
+    p = int(grid.max_occupancy)
+    q_chunk = max(8, min(int(chunk), (8 << 20) // max(27 * p, 1)))
     rows = []
-    est = jax.jit(lambda q: _estimate_no_normal(
-        grid, q, radius, k, filter_type, max_per_cell))
-    for lo in range(0, n_corners, chunk):
-        q = jnp.asarray(corners[lo:lo + chunk])
-        irrad, mean_dir = est(q)
+    for lo in range(0, n_corners, q_chunk):
+        q = jnp.asarray(corners[lo:lo + q_chunk])
+        irrad, mean_dir = _estimate_corners(grid, q, float(radius),
+                                            int(k), int(filter_type))
         rows.append(jnp.concatenate([irrad, mean_dir], axis=-1))
     # channel-major [6, NC]: corner gathers then ride the (long) lane dim
     table = jnp.transpose(jnp.concatenate(rows, axis=0))
@@ -103,15 +114,79 @@ def build_irradiance_volume(grid: PhotonGrid, radius: float, k: int,
                             dims=dims, cell=float(cell))
 
 
-def _estimate_no_normal(grid: PhotonGrid, q_pos, radius: float, k: int,
-                        filter_type: int, max_per_cell: int):
-    """estimate_irradiance without the per-photon normal test (corner
-    queries have no surface normal): exact bounded-k selection + area
-    normalization, identical otherwise (gi/grid.estimate_irradiance)."""
-    from rtf_tpu.gi.grid import estimate_irradiance
-    return estimate_irradiance(grid, q_pos, None, radius, k,
-                               filter_type=filter_type,
-                               max_per_cell=max_per_cell, exact=True)
+@jax.jit
+def _normalize_dir(dsum):
+    n = jnp.sqrt(jnp.maximum(jnp.sum(dsum * dsum, -1, keepdims=True),
+                             1e-30))
+    return dsum / n
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("radius", "k", "filter_type"))
+def _estimate_corners(grid: PhotonGrid, qp, radius: float, k: int,
+                      filter_type: int):
+    """Normal-free exact bounded-k irradiance estimate, materialized:
+    the [Q, 27*P] candidate set is built with batched gathers, the
+    exact k-th-nearest selection radius comes from one top_k (the
+    reference heap's dist2[0], cyPhotonMap.h:425-437), and the sums are
+    masked reductions.  Semantics identical to
+    gi/grid.estimate_irradiance(exact=True, q_normal=None): strict
+    d2 < r_cap^2 acceptance, inclusive d2 <= r_k^2 selection when more
+    than k candidates pass, pi*r^2-family area normalization."""
+    nx, ny, nz = grid.dims
+    p = int(grid.max_occupancy)
+    capn = grid.pos.shape[0]
+    r2cap = jnp.float32(radius * radius)
+    base = jnp.floor((qp - grid.origin) / grid.cell_size).astype(jnp.int32)
+    lane = jnp.arange(p)[None, :]
+    cols_d2, cols_idx = [], []
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ijk = base + jnp.asarray([dx, dy, dz])
+                in_grid = ((ijk[:, 0] >= 0) & (ijk[:, 0] < nx)
+                           & (ijk[:, 1] >= 0) & (ijk[:, 1] < ny)
+                           & (ijk[:, 2] >= 0) & (ijk[:, 2] < nz))
+                ijk = jnp.clip(ijk, 0,
+                               jnp.asarray([nx - 1, ny - 1, nz - 1]))
+                cid = (ijk[:, 2] * ny + ijk[:, 1]) * nx + ijk[:, 0]
+                start = grid.cell_start[cid]
+                cnt = jnp.where(in_grid, grid.cell_count[cid], 0)
+                cnt = jnp.minimum(cnt, p)
+                idx = jnp.minimum(start[:, None] + lane, capn - 1)
+                pp = grid.pos[idx]                        # [Q,P,3]
+                diff = pp - qp[:, None, :]
+                d2 = jnp.sum(diff * diff, axis=-1)
+                ok = (lane < cnt[:, None]) & (d2 < r2cap)
+                cols_d2.append(jnp.where(ok, d2, jnp.inf))
+                cols_idx.append(idx)
+    alld2 = jnp.concatenate(cols_d2, axis=1)              # [Q, 27P]
+    allidx = jnp.concatenate(cols_idx, axis=1)
+    count = jnp.sum(jnp.isfinite(alld2), axis=1)
+    kk = min(max(k, 1), alld2.shape[1])
+    r2k = -jax.lax.top_k(-alld2, kk)[0][:, kk - 1]
+    over = (count > k) & jnp.isfinite(r2k) if k > 0 \
+        else jnp.zeros_like(count, bool)
+    r2_eff = jnp.where(over, r2k, r2cap)
+    sel = alld2 <= r2_eff[:, None]      # inf candidates never selected
+    d2c = jnp.where(sel, alld2, 0.0)
+    if filter_type == 1:                # FILTER_LINEAR
+        filt = 1.0 - jnp.sqrt(d2c / jnp.maximum(r2_eff, 1e-30)[:, None])
+        area = (jnp.pi / 3.0) * r2_eff
+    elif filter_type == 2:              # FILTER_QUADRATIC
+        filt = 1.0 - d2c / jnp.maximum(r2_eff, 1e-30)[:, None]
+        area = (jnp.pi * 0.5) * r2_eff
+    else:
+        filt = jnp.ones_like(d2c)
+        area = jnp.pi * r2_eff
+    w = jnp.where(sel, filt, 0.0)
+    pw = grid.power[allidx]                               # [Q,27P,3]
+    pd = grid.dir[allidx]
+    irrad = jnp.sum(pw * w[:, :, None], axis=1)
+    maxp = jnp.max(pw, axis=-1)
+    dsum = jnp.sum(pd * (w * maxp)[:, :, None], axis=1)
+    irrad = irrad / jnp.maximum(area, 1e-30)[:, None]
+    return irrad, _normalize_dir(dsum)
 
 
 def sample_volume_ch(vol: IrradianceVolume, p3):

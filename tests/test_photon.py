@@ -396,3 +396,37 @@ def test_cap_occupancy_unbiased_and_bounded():
                                    err_msg=f"k={k} per-query")
         np.testing.assert_allclose(b[16], a[16], rtol=1e-5,
                                    err_msg=f"k={k} sparse cell")
+
+
+def test_estimate_corners_matches_exact_gather():
+    """The materialized corner estimator (volume bake) must reproduce
+    gi/grid.estimate_irradiance(exact=True, normal-free) including the
+    kNN radius shrink and every filter's area normalization."""
+    from rtf_tpu.gi.grid import FILTER_CONSTANT, FILTER_LINEAR, \
+        FILTER_QUADRATIC
+    from rtf_tpu.gi.volume import _estimate_corners
+    rng = np.random.RandomState(5)
+    pos = rng.uniform(-3, 3, (4000, 3)).astype(np.float32)
+    pos[:2000, 2] = 0.0            # a dense floor plane + 3D scatter
+    n = len(pos)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pw = rng.uniform(0.1, 1.0, (n, 3)).astype(np.float32)
+    pm = PhotonMapData(pos=jnp.asarray(pos), dir=jnp.asarray(dirs),
+                      power=jnp.asarray(pw), count=jnp.int32(n))
+    grid = build_photon_grid(pm, 1.0, (-3, -3, -3), (3, 3, 3))
+    q = jnp.asarray(rng.uniform(-2.5, 2.5, (64, 3)).astype(np.float32))
+    for ft in (FILTER_CONSTANT, FILTER_LINEAR, FILTER_QUADRATIC):
+        for k in (0, 40, 10 ** 6):
+            want_i, want_d = estimate_irradiance(
+                grid, q, None, radius=1.0, k=k, filter_type=ft,
+                exact=True)
+            got_i, got_d = _estimate_corners(grid, q, 1.0, k, ft)
+            np.testing.assert_allclose(np.asarray(got_i),
+                                       np.asarray(want_i),
+                                       rtol=2e-5, atol=1e-5,
+                                       err_msg=f"ft={ft} k={k}")
+            np.testing.assert_allclose(np.asarray(got_d),
+                                       np.asarray(want_d),
+                                       rtol=1e-3, atol=1e-3,
+                                       err_msg=f"dir ft={ft} k={k}")
