@@ -54,9 +54,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from rtf_tpu.render.config import PROFILES
-    from rtf_tpu.render.renderer import (
-        finalize, prepare_photon_grid, render_device_host,
-    )
+    from rtf_tpu.render.renderer import finalize, render_device_host
     from rtf_tpu.scene import build_scene, load_scene
     from rtf_tpu.utils.image import rmse
     from rtf_tpu.utils.png import read_png, write_png
@@ -77,12 +75,16 @@ def main(argv=None):
     cfg = PROFILES["final"].with_(split_mode="rr", min_samples=spp,
                                   max_samples=spp)
     t0 = time.time()
-    grid = prepare_photon_grid(scene, cfg, jax.random.PRNGKey(7))
-    print(f"[final_gi] photon pass {int(grid.n_valid)} in "
-          f"{time.time()-t0:.0f}s", file=sys.stderr)
+    # the committed CPU-baked scene_b volume (tools/flagship): same
+    # seed-7 1M-photon pass + k=400 r=1 bake the renderer would derive
+    # from prepare_photon_grid, precomputed off-chip and cached on disk
+    from tools.flagship import sceneb_volume
+    vol = sceneb_volume(scene, cfg)
+    print(f"[final_gi] photon volume ready in {time.time()-t0:.0f}s",
+          file=sys.stderr)
     t0 = time.time()
     out = render_device_host(scene, cfg, jax.random.PRNGKey(0),
-                             gi_grid=grid)
+                             gi_grid=vol)
     assert bool(np.asarray(jnp.isfinite(out[0]).all()))
     res = finalize(scene, cfg, *out)
     print(f"[final_gi] our render in {time.time()-t0:.0f}s",
