@@ -102,14 +102,21 @@ def build_irradiance_volume(grid: PhotonGrid, radius: float, k: int,
     # design; the TPU-native shape is materialize-and-reduce.
     p = int(grid.max_occupancy)
     q_chunk = max(8, min(int(chunk), (8 << 20) // max(27 * p, 1)))
+    # pad the corner array to a q_chunk multiple so every dispatch
+    # reuses ONE compiled shape — a ragged final chunk forced a second
+    # full XLA compile of a large program per bake (ADVICE r4)
+    n_pad = -n_corners % q_chunk
+    if n_pad:
+        corners = np.concatenate(
+            [corners, np.repeat(corners[-1:], n_pad, axis=0)], axis=0)
     rows = []
-    for lo in range(0, n_corners, q_chunk):
+    for lo in range(0, n_corners + n_pad, q_chunk):
         q = jnp.asarray(corners[lo:lo + q_chunk])
         irrad, mean_dir = _estimate_corners(grid, q, float(radius),
                                             int(k), int(filter_type))
         rows.append(jnp.concatenate([irrad, mean_dir], axis=-1))
     # channel-major [6, NC]: corner gathers then ride the (long) lane dim
-    table = jnp.transpose(jnp.concatenate(rows, axis=0))
+    table = jnp.transpose(jnp.concatenate(rows, axis=0)[:n_corners])
     return IrradianceVolume(table=table, origin=jnp.asarray(bounds_min),
                             dims=dims, cell=float(cell))
 

@@ -12,8 +12,17 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# fast-compile: the suite tests SEMANTICS on XLA:CPU, not CPU speed.
+# Backend opt level 0 cuts the multi-minute LLVM optimization of the
+# giant interpret-mode Pallas programs, and sidesteps the round-4
+# mid-suite segfault inside backend_compile_and_load on the largest
+# wavefront programs (LLVM-pass crash on huge functions; see
+# /tmp/pytest_r4b.log forensics — cache was already off).
+if "xla_backend_optimization_level" not in flags:
+    flags = (flags + " --xla_backend_optimization_level=0"
+             " --xla_llvm_disable_expensive_passes=true")
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -246,7 +246,7 @@ def test_volume_matches_exact_estimate_at_corners(scene, photons):
     """At grid-corner positions the trilinear sample IS the table entry,
     which must equal the normal-test-free exact estimate."""
     from rtf_tpu.gi.volume import build_irradiance_volume, sample_volume
-    from rtf_tpu.gi.volume import _estimate_no_normal
+    from rtf_tpu.gi.volume import _estimate_corners
     radius, k = 2.0, 64
     grid = build_photon_grid(photons, radius,
                              scene.world_min, scene.world_max)
@@ -260,8 +260,8 @@ def test_volume_matches_exact_estimate_at_corners(scene, photons):
                 + np.stack([ids // (ny * nz), (ids // nz) % ny, ids % nz],
                            -1).astype(np.float32) * vol.cell)
     irr_v, dir_v = sample_volume(vol, jnp.asarray(corner_p))
-    irr_e, dir_e = _estimate_no_normal(grid, jnp.asarray(corner_p),
-                                       radius, k, 0, 128)
+    irr_e, dir_e = _estimate_corners(grid, jnp.asarray(corner_p),
+                                     radius, k, 0)
     np.testing.assert_allclose(np.asarray(irr_v), np.asarray(irr_e),
                                rtol=1e-4, atol=1e-6)
 

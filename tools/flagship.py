@@ -76,11 +76,18 @@ def sceneb(args):
     print(f"wrote {path}")
 
 
+# bump when build_irradiance_volume's algorithm or non-keyed defaults
+# (estimator, filter_type, cell=radius rule) change, so stale committed
+# bakes are invalidated instead of silently loaded (ADVICE r4)
+_VOL_BAKE_VERSION = 1
+_VOL_OCC_CAP = 2048   # build_irradiance_volume's occ_cap default
+
+
 def _vol_path(cfg, seed: int) -> str:
     return os.path.join(
         REPO, "artifacts", "cache",
-        f"sceneb_vol_p{cfg.photon_count}_k{cfg.knn_k}"
-        f"_r{cfg.knn_radius:g}_s{seed}.npz")
+        f"sceneb_vol_v{_VOL_BAKE_VERSION}_p{cfg.photon_count}"
+        f"_k{cfg.knn_k}_r{cfg.knn_radius:g}_o{_VOL_OCC_CAP}_s{seed}.npz")
 
 
 def _bake_sceneb_volume(scene, cfg, seed: int, path: str):
@@ -93,7 +100,8 @@ def _bake_sceneb_volume(scene, cfg, seed: int, path: str):
 
     grid = prepare_photon_grid(scene, cfg, jax.random.PRNGKey(seed))
     vol = build_irradiance_volume(grid, cfg.knn_radius, cfg.knn_k,
-                                  scene.world_min, scene.world_max)
+                                  scene.world_min, scene.world_max,
+                                  occ_cap=_VOL_OCC_CAP)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp.npz"
     np.savez(tmp, table=np.asarray(vol.table),
@@ -128,13 +136,18 @@ def sceneb_volume(scene, cfg, seed: int = 7):
         else:
             # `import tools.cpu` FIRST in the child: the container
             # preimports jax with the backend pinned, so env vars alone
-            # do not flip it (tools/cpu.py docstring)
+            # do not flip it (tools/cpu.py docstring).  Forward every
+            # bake-affecting cfg field + the exact target path so a
+            # caller overriding knn params can never bake one file and
+            # load another (ADVICE r4).
             import subprocess
             code = ("import tools.cpu\n"
                     "import argparse\n"
                     "from tools.flagship import bakevol\n"
                     f"bakevol(argparse.Namespace("
-                    f"photons={int(cfg.photon_count)}, seed={int(seed)}))\n")
+                    f"photons={int(cfg.photon_count)}, seed={int(seed)}, "
+                    f"k={int(cfg.knn_k)}, radius={float(cfg.knn_radius)}, "
+                    f"out={path!r}))\n")
             subprocess.run([sys.executable, "-c", code],
                            cwd=REPO, check=True)
     d = np.load(path)
@@ -146,12 +159,18 @@ def sceneb_volume(scene, cfg, seed: int = 7):
 
 def bakevol(args):
     """CPU bake entry (see sceneb_volume): renders nothing, writes the
-    volume npz for (photons, seed)."""
+    volume npz for (photons, k, radius, seed)."""
     # the bake must never touch the tunneled worker: flip to CPU before
     # any backend is initialized (calling jax.default_backend() first
-    # would itself initialize the pinned TPU backend)
+    # would itself initialize the pinned TPU backend).  Set the env TOO:
+    # when invoked as `python -m tools.flagship bakevol` the module-level
+    # `import tools.cache` already armed the persistent compile cache
+    # for a non-cpu env, and serializing large CPU executables through
+    # it is the root-caused round-3/4 segfault (ADVICE r4) — disarm it.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", None)
     from rtf_tpu.render.config import PROFILES
     from rtf_tpu.scene import build_scene, load_scene
 
@@ -162,8 +181,12 @@ def bakevol(args):
         scene = build_scene(desc)
     finally:
         os.chdir(cwd)
-    cfg = PROFILES["final"].with_(photon_count=args.photons)
-    path = _vol_path(cfg, args.seed)
+    cfg = PROFILES["final"].with_(photon_count=args.photons,
+                                  knn_k=getattr(args, "k", None)
+                                  or PROFILES["final"].knn_k,
+                                  knn_radius=getattr(args, "radius", None)
+                                  or PROFILES["final"].knn_radius)
+    path = getattr(args, "out", None) or _vol_path(cfg, args.seed)
     t0 = time.perf_counter()
     _bake_sceneb_volume(scene, cfg, args.seed, path)
     print(f"baked {path} in {time.perf_counter()-t0:.0f}s", flush=True)
@@ -255,6 +278,9 @@ def main(argv=None):
     v = sub.add_parser("bakevol")
     v.add_argument("--photons", type=int, default=1_000_000)
     v.add_argument("--seed", type=int, default=7)
+    v.add_argument("--k", type=int, default=None)
+    v.add_argument("--radius", type=float, default=None)
+    v.add_argument("--out", type=str, default=None)
     v.set_defaults(fn=bakevol)
     c = sub.add_parser("caustics")
     c.add_argument("--width", type=int, default=400)
