@@ -33,6 +33,15 @@ def main(argv=None):
     ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--oracle-only", action="store_true",
                     help="render/restore the oracle side and exit")
+    ap.add_argument("--hemi0", action="store_true",
+                    help="committed-code parity mode: render ours with "
+                    "hemisphere_samples=0 (the reference's Final-era "
+                    "hemisphere GI is dead code — its traced radiance "
+                    "lands in a shadowing inner `Color idrColor;`, "
+                    "main.cpp:673-686 — so the committed binary's "
+                    "effective lighting is direct + Fresnel + deep-"
+                    "bounce photon; proof: -DHEMISPHERE_SAMPLE=0 "
+                    "oracle is byte-identical.  GOLDENS.md finalgi.)")
     args = ap.parse_args(argv)
     w, h, spp = args.width, args.height, args.spp
 
@@ -74,6 +83,8 @@ def main(argv=None):
         os.chdir(cwd)
     cfg = PROFILES["final"].with_(split_mode="rr", min_samples=spp,
                                   max_samples=spp)
+    if args.hemi0:
+        cfg = cfg.with_(hemisphere_samples=0)
     t0 = time.time()
     # the committed CPU-baked scene_b volume (tools/flagship): same
     # seed-7 1M-photon pass + k=400 r=1 bake the renderer would derive
@@ -90,12 +101,14 @@ def main(argv=None):
     print(f"[final_gi] our render in {time.time()-t0:.0f}s",
           file=sys.stderr)
     os.makedirs(PERSIST, exist_ok=True)
-    ours = os.path.join(PERSIST, "ours_finalgi.png")
+    ours = os.path.join(
+        PERSIST, "ours_finalgi_hemi0.png" if args.hemi0
+        else "ours_finalgi.png")
     write_png(ours, res.image)
     err = rmse(res.image, golden[:, :, :3])
     print(f"finalgi: RMSE {err:.5f} vs converged oracle {oracle_png}"
-          f"  (ours: {ours}; {w}x{h}, flat {spp} spp, 30 hemi, "
-          f"BOUNCE=4, photon k=400 r=1)")
+          f"  (ours: {ours}; {w}x{h}, flat {spp} spp, "
+          f"{cfg.hemisphere_samples} hemi, BOUNCE=4, photon k=400 r=1)")
     return 0
 
 
