@@ -533,7 +533,7 @@ def _box_overlap(rlo, rhi, lo, hi):
 
 
 def _mesh_closest(o3, d3, consts, st, t_cap_scalar, mesh_refs=None,
-                  need_uv=False):
+                  need_uv=False, defer=False):
     """Closest mesh hit over all instances: per-(block, tile) and
     per-(block, triangle) immediate-AABB culling, winner state in the st
     scratch ([8, 8, 128]: t, nx, ny, nz, mtl, front [, u, v]; world
@@ -549,8 +549,11 @@ def _mesh_closest(o3, d3, consts, st, t_cap_scalar, mesh_refs=None,
     insts = consts["mesh_insts"]
     if insts and "mxu" in insts[0]:
         _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
-                          mesh_refs, need_uv=need_uv)
+                          mesh_refs, need_uv=need_uv, defer=defer)
         return
+    # defer with no mesh at all is a no-op (fid stays -1); defer with
+    # the immediates path is unsupported (no face-row table to gather)
+    assert not (defer and insts), "defer requires the MXU table path"
     for inst in consts["mesh_insts"]:
         lo3 = _mat3_apply_const(inst["itm"],
                                 o3[0] - inst["pos"][0],
@@ -769,7 +772,7 @@ def _octant_col(ld3):
 
 
 def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
-                      mesh_refs, need_uv=False):
+                      mesh_refs, need_uv=False, defer=False):
     """Closest mesh hit, large-mesh path: per tile, ONE [1024,16] x
     [16,5*128] MXU matmul yields every ray x triangle Plücker sign and
     plane term; the VPU epilogue picks the per-ray winner and resolves
@@ -784,7 +787,16 @@ def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
     AABB-passing tile is DMA'd into VMEM scratch before the matmul (the
     shade tile only when the tile actually produced a hit), so mesh
     size is bounded by HBM, not VMEM (cyBVH handles arbitrary sizes —
-    so must we)."""
+    so must we).
+
+    defer=True (seg path, round 5): the sweep tracks only the winner
+    (t, GLOBAL face row) — st[0] and st[8] — and the whole winner-
+    resolve epilogue (3 one-hot HIGHEST matmuls, normal/uv interp,
+    instance transform, and in streaming mode the shade-tile DMA) is
+    SKIPPED; the seg driver resolves normals/mtl/front/uv OUTSIDE the
+    kernel with one XLA gather by face id (fused_seg._resolve_hit).
+    Measured on scene_b hemisphere children: 1182 -> 622 us/block for
+    mesh-interested blocks (tools/profile_tiles, v5e)."""
     trit_ref, shade_ref, aabb_ref = mesh_refs[:3]
     stream = len(mesh_refs) > 3
     if stream:
@@ -821,6 +833,27 @@ def _mesh_closest_mxu(o3, d3, consts, st, t_cap_scalar,
                     trit_j = trit_ref[jj]
                 t, valid, sa, sb, sc, dn = _mxu_pair(rays16, trit_j)
                 tt = jnp.where(valid & (t < t_cap_scalar), t, BIG)
+
+                if defer:
+                    # winner (t, global face row) only; resolve is the
+                    # seg driver's XLA gather (_resolve_hit)
+                    @pl.when(jnp.min(tt) < BIG)
+                    def _():
+                        tmin = jnp.min(tt, axis=1, keepdims=True)
+                        col = jax.lax.broadcasted_iota(
+                            jnp.int32, tt.shape, 1)
+                        fid = jnp.where(tt == tmin, col,
+                                        jnp.int32(2 ** 30))
+                        fmin = jnp.min(fid, axis=1, keepdims=True)
+                        t8 = _to88(tmin[:, 0])
+                        f8 = _to88(fmin[:, 0].astype(jnp.float32))
+                        ok = t8 < st[0]
+                        st[0] = jnp.where(ok, t8, st[0])
+                        st[8] = jnp.where(
+                            ok,
+                            f8 + jj.astype(jnp.float32) * MXU_TILE,
+                            st[8])
+                    return
 
                 # winner resolve only when SOMETHING in the tile hit:
                 # AABB-overlapping tiles that produce no hits (most of
@@ -1234,12 +1267,18 @@ def _wave_kernel(seed_ref, rays_ref, *refs, consts, cfg_c, nbounce,
             out_ref[0, extra] = zero
 
 
-def _closest_hit(o3, d3, consts, st, mesh_refs=None, need_uv=False):
+def _closest_hit(o3, d3, consts, st, mesh_refs=None, need_uv=False,
+                 defer=False):
     """Closest hit over primitives + mesh: primitives FIRST (cheap),
     then the mesh with the primitive distances as per-lane caps and
     their block max as the reach bound (tightens triangle culling
     dramatically in closed scenes).  Returns
-    (t, normalized n3, mtl, front, uv-or-None)."""
+    (t, normalized n3, mtl, front, uv-or-None[, fid]).
+
+    defer=True: the mesh sweep records only (t, global face row) —
+    n3/mtl/front/uv keep the PRIMITIVE winner's values (valid exactly
+    where fid < 0) and a 6th output fid is returned; mesh lanes are
+    resolved outside the kernel (fused_seg._resolve_hit)."""
     shape = (SUB, TRI_LANES)
     zero = jnp.zeros(shape, jnp.float32)
     uv = None
@@ -1257,12 +1296,16 @@ def _closest_hit(o3, d3, consts, st, mesh_refs=None, need_uv=False):
     st[5] = front_p
     if need_uv:
         st[6], st[7] = uv
+    if defer:
+        st[8] = jnp.full(shape, -1.0, jnp.float32)
     _mesh_closest(o3, d3, consts, st, jnp.max(t_p), mesh_refs=mesh_refs,
-                  need_uv=need_uv)
+                  need_uv=need_uv, defer=defer)
     t, n3 = st[0], (st[1], st[2], st[3])
     mtl, front = st[4], st[5]
     if need_uv:
         uv = (st[6], st[7])
+    if defer:
+        return t, _norm3(*n3), mtl, front, uv, st[8]
     return t, _norm3(*n3), mtl, front, uv
 
 
@@ -1825,39 +1868,77 @@ def fused_gi_primary(cfg, consts, o3, d3, alive, seed, gi_vol=None,
     return rad3, hit0, z0, surf
 
 
-def _gi_mesh_perm(aabb, o3, d3, alive):
+def _gi_mesh_perm(consts, o3, d3, alive):
     """Lane permutation that groups hemisphere child rays by mesh
-    interest: lanes whose ray enters the mesh ROOT AABB first (sub-
-    ordered by direction octant so the front-to-back tile orders
-    agree within a block), then mesh-free lanes, then dead lanes.
+    interest: lanes whose ray enters the mesh ROOT AABB first — sub-
+    ordered by ORIGIN Morton cell then direction octant — then
+    mesh-free lanes, then dead lanes.
 
     Incoherent GI directions defeat the per-lane slab tile culls — any
     single interested lane forces its whole 8x128 block through every
     MXU tile sweep (profile: the mesh sweeps are ~100% of the
     per-hemi-sample cost on scene_b).  Grouping makes blocks
     homogeneous: mesh-free blocks skip every tile, all-dead blocks skip
-    both kernels via their any_alive gates.  A pure permutation — the
-    same rays are traced, so the estimator is unchanged (lanes draw
-    different per-lane RNG streams, which only relabels the Monte Carlo
-    draws).  Returns (perm, inv): inputs go through perm, per-lane
-    outputs come back through inv."""
-    lo = jnp.min(aabb[:, 0:3], axis=0)
-    hi = jnp.max(aabb[:, 3:6], axis=0)
+    both kernels via their any_alive gates.
+
+    The origin-cell key (round 5) attacks the second-order effect: the
+    tile slab gate is ANY-lane, so a block of interested lanes with
+    origins scattered over the whole room passes ~43 of scene_b's 78
+    tile AABBs (measured) at ~10 us of VPU epilogue per visit.  Sorting
+    by a 4x4x4 Morton cell of the child-ray ORIGIN first makes each
+    block's segment union spatially tight, shrinking the per-block
+    passing-tile set.  A pure permutation — the same rays are traced,
+    so the estimator is unchanged (lanes draw different per-lane RNG
+    streams, which only relabels the Monte Carlo draws).  Returns
+    (perm, inv): inputs go through perm, per-lane outputs come back
+    through inv.
+
+    enters is evaluated PER INSTANCE in each mesh's LOCAL space
+    (itm/pos applied, root box mesh_lo/mesh_hi) — the round-4 version
+    tested world rays against the union of local tile boxes, a space
+    mismatch that misclassified lanes and scattered truly-interested
+    lanes across most blocks (measured: 114 of 117 blocks interested
+    vs 44 truly; the slab gate then passed ~43 of 78 tiles/block)."""
     n = o3[0].shape[0]
-    tmin = jnp.zeros((n,), jnp.float32)
-    tmax = jnp.full((n,), jnp.inf, jnp.float32)
-    for c in range(3):
-        idc = 1.0 / jnp.where(jnp.abs(d3[c]) < 1e-20,
-                              jnp.float32(1e-20), d3[c])
-        a = (lo[c] - o3[c]) * idc
-        b = (hi[c] - o3[c]) * idc
-        tmin = jnp.maximum(tmin, jnp.minimum(a, b))
-        tmax = jnp.minimum(tmax, jnp.maximum(a, b))
-    enters = tmax >= tmin            # tmin already clamped >= 0
+    enters = jnp.zeros((n,), bool)
+    for inst in consts["mesh_insts"]:
+        lo3 = _mat3_apply_const(inst["itm"],
+                                o3[0] - inst["pos"][0],
+                                o3[1] - inst["pos"][1],
+                                o3[2] - inst["pos"][2])
+        ld3 = _mat3_apply_const(inst["itm"], d3[0], d3[1], d3[2])
+        mlo, mhi = inst["mesh_lo"], inst["mesh_hi"]
+        tmin = jnp.zeros((n,), jnp.float32)
+        tmax = jnp.full((n,), jnp.inf, jnp.float32)
+        for c in range(3):
+            idc = jnp.where(
+                jnp.abs(ld3[c]) < 1e-20,
+                jnp.where(ld3[c] < 0.0, jnp.float32(-1e30),
+                          jnp.float32(1e30)),
+                1.0 / ld3[c])
+            a = (mlo[c] - lo3[c]) * idc
+            b = (mhi[c] - lo3[c]) * idc
+            tmin = jnp.maximum(tmin, jnp.minimum(a, b))
+            tmax = jnp.minimum(tmax, jnp.maximum(a, b))
+        enters = enters | (tmax >= tmin)   # tmin already clamped >= 0
     octant = ((d3[0] < 0).astype(jnp.int32)
               + 2 * (d3[1] < 0).astype(jnp.int32)
               + 4 * (d3[2] < 0).astype(jnp.int32))
-    bucket = jnp.where(alive, jnp.where(enters, octant, 16), 17)
+    # 2-bit-per-axis Morton cell of the origin over the live-origin
+    # bounds (data-dependent reduction; padding/SENTINEL origins are
+    # masked out of the bounds and land in the dead bucket anyway)
+    big = jnp.float32(1e29)
+    cell = jnp.zeros((n,), jnp.int32)
+    for c in range(3):
+        oc = jnp.where(alive, o3[c], 0.0)
+        olo = jnp.min(jnp.where(alive, o3[c], big))
+        ohi = jnp.max(jnp.where(alive, o3[c], -big))
+        q = jnp.clip(((oc - olo) / jnp.maximum(ohi - olo, 1e-6)
+                      * 4.0).astype(jnp.int32), 0, 3)
+        # interleave: bit b of axis c -> output bit 3*b + c
+        cell = cell | ((q & 1) << c) | (((q >> 1) & 1) << (3 + c))
+    key = cell * 8 + octant          # 0..511 for interested lanes
+    bucket = jnp.where(alive, jnp.where(enters, key, 512), 513)
     perm = jnp.argsort(bucket, stable=True)
     inv = jnp.zeros((n,), jnp.int32).at[perm].set(
         jnp.arange(n, dtype=jnp.int32))
@@ -1894,7 +1975,7 @@ def fused_gi_chunks(cfg, consts, surf, hit0, alive, seed, key, i0,
                              dirs[0], dirs[1], dirs[2])
         inv = None
         if cfg.gi_mesh_sort and mesh_tables is not None:
-            perm, inv = _gi_mesh_perm(mesh_tables[2], o3c, dirs, alive_c)
+            perm, inv = _gi_mesh_perm(consts, o3c, dirs, alive_c)
             o3c = tuple(x[perm] for x in o3c)
             dirs = tuple(x[perm] for x in dirs)
             tput3 = tuple(x[perm] for x in tput3)

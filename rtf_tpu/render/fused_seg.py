@@ -40,7 +40,7 @@ from rtf_tpu.render.fused import (
     _blk4, _closest_hit, _pack_rays_sh, _pad_blocks, _shade_from_hit,
 )
 
-HIT_ROWS = 8    # t, nx, ny, nz, mtl, front, u, v
+HIT_ROWS = 9    # t, nx, ny, nz, mtl, front, u, v, fid (deferred resolve)
 TEX_ROWS = 9    # kd rgb, ks rgb, env rgb
 OUT_ROWS = 21   # rad rgb, hit, z, next-ray state (16)
 
@@ -120,7 +120,14 @@ def fusable_seg(scene, cfg) -> bool:
 
 def _seg_hit_kernel(rays_ref, *refs, consts, has_mesh_tables=False,
                     stream_mesh=False):
-    """Closest hit only: writes (t, n, mtl, front, uv) rows."""
+    """Closest hit only: writes (t, n, mtl, front, uv, fid) rows.
+
+    With mesh tables the sweep runs DEFERRED (round 5): mesh winners
+    record only (t, global face row) in-kernel — rows 1-7 then hold the
+    PRIMITIVE winner's values, valid exactly where fid < 0 — and the
+    driver's _resolve_hit gathers normals/mtl/front/uv by face id in
+    XLA, which removes the per-tile one-hot resolve matmuls from the
+    sweep (1182 -> 622 us/block on mesh-interested GI blocks)."""
     if has_mesh_tables and stream_mesh:
         (trit_ref, shade_ref, aabb_ref, out_ref, st,
          trit_s, shade_s, sem_t, sem_s) = refs
@@ -135,20 +142,28 @@ def _seg_hit_kernel(rays_ref, *refs, consts, has_mesh_tables=False,
     sh = rays_ref[0]
     shape = (SUB, TRI_LANES)
     any_alive = jnp.max(sh[R_ALIVE]) > 0.0
+    defer = has_mesh_tables
 
     @pl.when(~any_alive)
     def _():
         out_ref[0, 0] = jnp.full(shape, BIG, jnp.float32)
         zero = jnp.zeros(shape, jnp.float32)
-        for r in range(1, HIT_ROWS):
+        for r in range(1, HIT_ROWS - 1):
             out_ref[0, r] = zero
+        out_ref[0, HIT_ROWS - 1] = jnp.full(shape, -1.0, jnp.float32)
 
     @pl.when(any_alive)
     def _():
         o3 = (sh[R_O], sh[R_O + 1], sh[R_O + 2])
         d3 = (sh[R_D], sh[R_D + 1], sh[R_D + 2])
-        t, n3n, mtl, front, uv = _closest_hit(
-            o3, d3, consts, st, mesh_refs=mesh_refs, need_uv=True)
+        out = _closest_hit(
+            o3, d3, consts, st, mesh_refs=mesh_refs, need_uv=True,
+            defer=defer)
+        if defer:
+            t, n3n, mtl, front, uv, fid = out
+        else:
+            t, n3n, mtl, front, uv = out
+            fid = jnp.full(shape, -1.0, jnp.float32)
         out_ref[0, 0] = t
         out_ref[0, 1] = n3n[0]
         out_ref[0, 2] = n3n[1]
@@ -157,6 +172,7 @@ def _seg_hit_kernel(rays_ref, *refs, consts, has_mesh_tables=False,
         out_ref[0, 5] = front
         out_ref[0, 6] = uv[0]
         out_ref[0, 7] = uv[1]
+        out_ref[0, 8] = fid
 
 
 def _seg_shade_kernel(seed_ref, rays_ref, hit_ref, tex_ref, *refs,
@@ -246,6 +262,101 @@ def _seg_texture(scene, mtl, u, v):
     return out[0], out[1]
 
 
+def _resolve_hit(consts, mesh_tables, rays, hit):
+    """XLA winner resolve for the deferred seg hit kernel (round 5).
+
+    hit rows 1-7 hold the PRIMITIVE winner's values; row 8 is the mesh
+    winner's GLOBAL face row (-1 = primitive winner or miss).  This
+    gathers the per-face shade columns (normals/mtl/uv — the same
+    [T, 24] table the in-kernel one-hot matmuls used, face-major) and
+    the Plücker rows (to recompute the winner's barycentrics), applies
+    the instance transforms, and rebuilds the 9-row hit tensor with
+    mesh lanes resolved.  Identical math to the retired in-kernel
+    epilogue (fused.py _mesh_closest_mxu resolve branch) — elementwise
+    f32 instead of HIGHEST-precision MXU passes."""
+    from rtf_tpu.render.fused import MXU_TILE, _mat3_apply_const, _norm3
+    nblk = hit.shape[0]
+    n = nblk * SUB * TRI_LANES
+
+    def row(a, r):
+        return a[:, r].reshape(n)
+
+    fid = row(hit, 8)
+    trit, shade, aabb = mesh_tables
+    t_ = MXU_TILE
+    nt = trit.shape[0]
+    fs = shade.reshape(nt * t_, 24)
+    wa = jnp.swapaxes(trit[:, 0:6, 0 * t_:1 * t_], 1, 2).reshape(-1, 6)
+    wb = jnp.swapaxes(trit[:, 0:6, 1 * t_:2 * t_], 1, 2).reshape(-1, 6)
+    wc = jnp.swapaxes(trit[:, 0:6, 2 * t_:3 * t_], 1, 2).reshape(-1, 6)
+    fi = jnp.clip(fid.astype(jnp.int32), 0, nt * t_ - 1)
+    is_mesh = fid >= 0.0
+
+    ox, oy, oz = row(rays, R_O), row(rays, R_O + 1), row(rays, R_O + 2)
+    dx, dy, dz = row(rays, R_D), row(rays, R_D + 1), row(rays, R_D + 2)
+    # per-instance local rays + normal matrix, selected by the winner's
+    # face-row range (face rows are global across instances)
+    zero = jnp.zeros_like(ox)
+    lox = loy = loz = ldx = ldy = ldz = zero
+    nrm_rows = [zero] * 9
+    for inst in consts["mesh_insts"]:
+        row0, nti = inst["mxu"]
+        sel = is_mesh & (fi >= row0 * t_) & (fi < (row0 + nti) * t_)
+        l3 = _mat3_apply_const(inst["itm"], ox - inst["pos"][0],
+                               oy - inst["pos"][1],
+                               oz - inst["pos"][2])
+        ld3 = _mat3_apply_const(inst["itm"], dx, dy, dz)
+        lox = jnp.where(sel, l3[0], lox)
+        loy = jnp.where(sel, l3[1], loy)
+        loz = jnp.where(sel, l3[2], loz)
+        ldx = jnp.where(sel, ld3[0], ldx)
+        ldy = jnp.where(sel, ld3[1], ldy)
+        ldz = jnp.where(sel, ld3[2], ldz)
+        for k in range(9):
+            nrm_rows[k] = jnp.where(
+                sel, jnp.float32(inst["nrm"][k // 3][k % 3]),
+                nrm_rows[k])
+
+    # Plücker signs of the winner face: s = d . m + (o x d) . e
+    cx = loy * ldz - loz * ldy
+    cy = loz * ldx - lox * ldz
+    cz = lox * ldy - loy * ldx
+
+    def sign(w):
+        g = w[fi]
+        return (ldx * g[:, 0] + ldy * g[:, 1] + ldz * g[:, 2]
+                + cx * g[:, 3] + cy * g[:, 4] + cz * g[:, 5])
+
+    sa, sb = sign(wa), sign(wb)
+    sc = sign(wc)
+    ssum = sa + sb + sc
+    rs = 1.0 / jnp.where(ssum == 0.0, 1.0, ssum)
+    ba = sa * rs
+    bb = sb * rs
+    g = fs[fi]
+    nlx = g[:, 0] + ba * g[:, 3] + bb * g[:, 6]
+    nly = g[:, 1] + ba * g[:, 4] + bb * g[:, 7]
+    nlz = g[:, 2] + ba * g[:, 5] + bb * g[:, 8]
+    wn = (nrm_rows[0] * nlx + nrm_rows[1] * nly + nrm_rows[2] * nlz,
+          nrm_rows[3] * nlx + nrm_rows[4] * nly + nrm_rows[5] * nlz,
+          nrm_rows[6] * nlx + nrm_rows[7] * nly + nrm_rows[8] * nlz)
+    wn = _norm3(*wn)
+    dn = ldx * g[:, 10] + ldy * g[:, 11] + ldz * g[:, 12]
+    front_m = jnp.where(dn <= 0.0, 1.0, 0.0)
+    u_m = g[:, 13] + ba * g[:, 15] + bb * g[:, 17]
+    v_m = g[:, 14] + ba * g[:, 16] + bb * g[:, 18]
+
+    def merge(r, mval):
+        return jnp.where(is_mesh, mval, row(hit, r))
+
+    rows = [row(hit, 0),
+            merge(1, wn[0]), merge(2, wn[1]), merge(3, wn[2]),
+            merge(4, g[:, 9]), merge(5, front_m),
+            merge(6, u_m), merge(7, v_m), fid]
+    return jnp.concatenate(
+        [r.reshape(nblk, 1, SUB, TRI_LANES) for r in rows], axis=1)
+
+
 def _seg_env(scene, dx, dy, dz, l2=False):
     """Environment radiance per lane (SampleEnvironment,
     scene.h:426-432); solid env colors come back as python floats so the
@@ -317,7 +428,7 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
                                    stream_mesh=stream,
                                    gi_out=gi_out)
     mesh_specs, mesh_args = [], []
-    scratch = [pltpu.VMEM((8, SUB, TRI_LANES), jnp.float32)]
+    scratch = [pltpu.VMEM((9, SUB, TRI_LANES), jnp.float32)]
     if has_mesh:
         trit, shade, aabb = mesh_tables
         if stream:
@@ -359,11 +470,20 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
             compiler_params=cparams,
             interpret=interpret,
         )(rays, *mesh_args)
+        if has_mesh:
+            # deferred winner resolve: gather normals/mtl/front/uv of
+            # mesh winners by face id (kernel only tracked t + fid)
+            hit = _resolve_hit(consts, mesh_tables, rays, hit)
 
         mtl_l = row(hit, 4)
         u_l = row(hit, 6)
         v_l = row(hit, 7)
-        kd3, ks3 = _seg_texture(scene, mtl_l, u_l, v_l)
+        import os as _os
+        if _os.environ.get("RTF_PROBE_NOTEX"):  # perf probe only
+            one = jnp.ones((n,), jnp.float32)
+            kd3, ks3 = (one, one, one), (one, one, one)
+        else:
+            kd3, ks3 = _seg_texture(scene, mtl_l, u_l, v_l)
         env3 = _seg_env(scene, row(rays, R_D), row(rays, R_D + 1),
                         row(rays, R_D + 2), l2=cfg.env_l2)
         if env3 is None:

@@ -39,6 +39,45 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# The residual mid-suite segfault (r4b: test_render lane tiling; r5:
+# test_photon estimate_corners — always inside backend_compile_and_load
+# on one of the largest programs, always fine in isolation) fits stack
+# exhaustion during LLVM's deep recursion over huge kernel bodies:
+# XLA:CPU compiles on the CALLING thread, and the main thread's stack
+# cannot reliably grow past mappings placed near it (a runtime
+# RLIMIT_STACK raise did not help).  Fresh threads DO honor an explicit
+# large stack, so every test body runs on a 512 MB-stack worker thread
+# — compiles inherit it, and the crash cannot recur wherever the
+# biggest compile happens to land in suite order.
+import threading  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.hookimpl(tryfirst=True)
+def pytest_pyfunc_call(pyfuncitem):
+    testfunction = pyfuncitem.obj
+    kwargs = {name: pyfuncitem.funcargs[name]
+              for name in pyfuncitem._fixtureinfo.argnames}
+    result = {}
+
+    def run():
+        try:
+            testfunction(**kwargs)
+        except BaseException as e:   # noqa: BLE001 — re-raised below
+            result["exc"] = e
+
+    old = threading.stack_size(512 * 1024 * 1024)
+    try:
+        t = threading.Thread(target=run, name=f"test:{pyfuncitem.name}")
+        t.start()
+        t.join()
+    finally:
+        threading.stack_size(old)
+    if "exc" in result:
+        raise result["exc"]
+    return True
+
 REFERENCE = "/root/reference"
 
 
