@@ -194,52 +194,62 @@ def _gather_pass(grid: PhotonGrid, q_pos, q_normal, radius2,
     dsum = zero_q
     count = zero_q[:, 0].astype(jnp.int32)
 
-    for dz in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                ijk = base + jnp.asarray([dx, dy, dz])
-                in_grid = ((ijk[:, 0] >= 0) & (ijk[:, 0] < nx)
-                           & (ijk[:, 1] >= 0) & (ijk[:, 1] < ny)
-                           & (ijk[:, 2] >= 0) & (ijk[:, 2] < nz))
-                ijk = jnp.clip(ijk, 0,
-                               jnp.asarray([nx - 1, ny - 1, nz - 1]))
-                cid = (ijk[:, 2] * ny + ijk[:, 1]) * nx + ijk[:, 0]
-                start = grid.cell_start[cid]
-                cnt = jnp.where(in_grid, grid.cell_count[cid], 0)
-                cnt = jnp.minimum(cnt, max_per_cell)
+    # the 27 neighbor cells ride an OUTER fori_loop over a [27, 3]
+    # offset table (same dz-major visit order as the reference sweep)
+    # instead of 27 python-unrolled copies: the compiled program shrinks
+    # ~27x, which cuts this function's pathological ~100 s XLA:CPU
+    # compile (the largest program in the test suite and a segfault
+    # surface there, see tests/conftest.py) to seconds.  Identical
+    # arithmetic and accumulation order -> bit-exact results.
+    offs = jnp.asarray([[dx, dy, dz]
+                        for dz in (-1, 0, 1)
+                        for dy in (-1, 0, 1)
+                        for dx in (-1, 0, 1)], jnp.int32)
 
-                def body(i, carry):
-                    irrad, dsum, count = carry
-                    pi = jnp.minimum(start + i, grid.pos.shape[0] - 1)
-                    active = i < cnt
-                    pp = grid.pos[pi]
-                    pd = grid.dir[pi]
-                    pw = grid.power[pi]
-                    diff = pp - q_pos
-                    d2 = jnp.sum(diff * diff, axis=-1)
-                    ok = active & ((d2 <= radius2) if inclusive
-                                   else (d2 < radius2))
-                    if q_normal is not None:
-                        # normal test: photon must arrive from the front
-                        # (dir . N < 0 accepted, cyPhotonMap.h:385-387)
-                        ok = ok & (dot(pd, q_normal) < 0.0)
-                    if filter_type == FILTER_LINEAR:
-                        filt = 1.0 - jnp.sqrt(d2 / jnp.maximum(radius2, 1e-30))
-                    elif filter_type == FILTER_QUADRATIC:
-                        filt = 1.0 - d2 / jnp.maximum(radius2, 1e-30)
-                    else:
-                        filt = jnp.ones_like(d2)
-                    w = jnp.where(ok, filt, 0.0)
-                    irrad = irrad + pw * w[:, None]
-                    # direction weighted by filter * max-channel power
-                    maxp = jnp.max(pw, axis=-1)
-                    dsum = dsum + pd * (w * maxp)[:, None]
-                    count = count + ok.astype(jnp.int32)
-                    return irrad, dsum, count
+    def cell(c, carry):
+        ijk = base + offs[c]
+        in_grid = ((ijk[:, 0] >= 0) & (ijk[:, 0] < nx)
+                   & (ijk[:, 1] >= 0) & (ijk[:, 1] < ny)
+                   & (ijk[:, 2] >= 0) & (ijk[:, 2] < nz))
+        ijk = jnp.clip(ijk, 0,
+                       jnp.asarray([nx - 1, ny - 1, nz - 1]))
+        cid = (ijk[:, 2] * ny + ijk[:, 1]) * nx + ijk[:, 0]
+        start = grid.cell_start[cid]
+        cnt = jnp.where(in_grid, grid.cell_count[cid], 0)
+        cnt = jnp.minimum(cnt, max_per_cell)
 
-                irrad, dsum, count = jax.lax.fori_loop(
-                    0, max_per_cell, body, (irrad, dsum, count))
-    return irrad, dsum, count
+        def body(i, carry):
+            irrad, dsum, count = carry
+            pi = jnp.minimum(start + i, grid.pos.shape[0] - 1)
+            active = i < cnt
+            pp = grid.pos[pi]
+            pd = grid.dir[pi]
+            pw = grid.power[pi]
+            diff = pp - q_pos
+            d2 = jnp.sum(diff * diff, axis=-1)
+            ok = active & ((d2 <= radius2) if inclusive
+                           else (d2 < radius2))
+            if q_normal is not None:
+                # normal test: photon must arrive from the front
+                # (dir . N < 0 accepted, cyPhotonMap.h:385-387)
+                ok = ok & (dot(pd, q_normal) < 0.0)
+            if filter_type == FILTER_LINEAR:
+                filt = 1.0 - jnp.sqrt(d2 / jnp.maximum(radius2, 1e-30))
+            elif filter_type == FILTER_QUADRATIC:
+                filt = 1.0 - d2 / jnp.maximum(radius2, 1e-30)
+            else:
+                filt = jnp.ones_like(d2)
+            w = jnp.where(ok, filt, 0.0)
+            irrad = irrad + pw * w[:, None]
+            # direction weighted by filter * max-channel power
+            maxp = jnp.max(pw, axis=-1)
+            dsum = dsum + pd * (w * maxp)[:, None]
+            count = count + ok.astype(jnp.int32)
+            return irrad, dsum, count
+
+        return jax.lax.fori_loop(0, max_per_cell, body, carry)
+
+    return jax.lax.fori_loop(0, 27, cell, (irrad, dsum, count))
 
 
 def _kth_r2(grid: PhotonGrid, q_pos, q_normal, r_cap2, k: int,
