@@ -45,6 +45,25 @@ TEX_ROWS = 9    # kd rgb, ks rgb, env rgb
 OUT_ROWS = 21   # rad rgb, hit, z, next-ray state (16)
 
 
+import os as _os
+
+# Deferred winner resolve (RTF_SEG_DEFER=1 to enable; default OFF).
+# Read ONCE at import: jit caches are not keyed on env vars, so a
+# mid-process flip would serve stale programs.  Measured tradeoff on
+# scene_b 800x600 hybrid GI (v5e): in-kernel resolve 15.5 s/frame,
+# deferred 19.4 s — the per-bounce XLA face-gathers (~45 f32/lane over
+# every lane x bounce x wave) cost more than the rare in-kernel
+# resolve epilogues they replace (scene_b's slab-passing tiles mostly
+# produce no hit).  Defer remains the right shape for hit-heavy sweeps
+# and HBM-streamed meshes (622 vs 1182 us/block in tools/profile_tiles,
+# and no per-tile shade-table DMAs), so it stays available per-process.
+_SEG_DEFER = _os.environ.get("RTF_SEG_DEFER", "0") != "0"
+
+
+def _defer_enabled() -> bool:
+    return _SEG_DEFER
+
+
 def _dead_row_values(n_rows):
     """{row: fill} of an all-dead wave's shade output — the single
     source of truth shared by _seg_shade_kernel's ~any_alive branch and
@@ -142,7 +161,7 @@ def _seg_hit_kernel(rays_ref, *refs, consts, has_mesh_tables=False,
     sh = rays_ref[0]
     shape = (SUB, TRI_LANES)
     any_alive = jnp.max(sh[R_ALIVE]) > 0.0
-    defer = has_mesh_tables
+    defer = has_mesh_tables and _defer_enabled()
 
     @pl.when(~any_alive)
     def _():
@@ -470,7 +489,7 @@ def fused_wave_seg(cfg, consts, scene, o3, d3, alive, seed,
             compiler_params=cparams,
             interpret=interpret,
         )(rays, *mesh_args)
-        if has_mesh:
+        if has_mesh and _defer_enabled():
             # deferred winner resolve: gather normals/mtl/front/uv of
             # mesh winners by face id (kernel only tracked t + fid)
             hit = _resolve_hit(consts, mesh_tables, rays, hit)

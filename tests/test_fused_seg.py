@@ -1,5 +1,7 @@
 """Segmented fused path (render/fused_seg.py): Pallas hit kernel + XLA
 texture segment + Pallas shade kernel vs the XLA wavefront."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -183,3 +185,70 @@ def test_seg_gi_hemisphere_mean_matches_xla():
                          order, alive, key, n, inv_pixel=inv).radiance
     assert mean_f > float(np.asarray(rad0).mean())
     assert abs(mean_f - mean_x) / max(mean_x, 1e-9) < 0.08
+
+
+def test_seg_deferred_resolve_matches_xla_subprocess():
+    """RTF_SEG_DEFER=1 (deferred winner resolve — t+face-id in-kernel,
+    normals/mtl/uv via the XLA gather _resolve_hit) must reproduce the
+    XLA wavefront like the default in-kernel resolve does.  The knob is
+    read once at import (jit caches are not env-keyed), so the deferred
+    variant runs in a subprocess."""
+    import subprocess
+    import sys
+    code = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["RTF_SEG_DEFER"] = "1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from rtf_tpu.render import integrator as I
+from rtf_tpu.render.camera import (pixel_order, pixel_order_inv,
+                                   primary_rays, primary_rays_ch)
+from rtf_tpu.render.config import RenderConfig
+from rtf_tpu.render.fused import frozen_consts, mxu_tables
+from rtf_tpu.render.fused_seg import _SEG_DEFER, fused_wave_seg, fusable_seg
+from rtf_tpu.scene.build import build_scene
+from rtf_tpu.scene.procedural import box_scene
+assert _SEG_DEFER
+desc = box_scene(width=32, height=24, with_mesh=True, mesh_subdiv=3)
+scene = build_scene(desc)
+cfg = RenderConfig(min_samples=4, max_samples=4, bounces=0,
+                   shadow_min=1, shadow_max=1, gi_mode="none",
+                   split_mode="rr")
+assert fusable_seg(scene, cfg)
+consts = frozen_consts(scene).obj
+insts = consts["mesh_insts"]
+assert insts and "mxu" in insts[0], "defer test needs the MXU path"
+w, h = scene.width, scene.height
+order = jnp.asarray(pixel_order(w, h))
+px, py = order % w, order // w
+key = jax.random.PRNGKey(0)
+o, d = primary_rays(scene, px, py, jnp.zeros_like(px), key=key,
+                    halton_bases=(2, 3))
+o3, d3 = primary_rays_ch(scene, px, py, jnp.zeros_like(px), key=key,
+                         halton_bases=(2, 3))
+n = w * h
+alive = jnp.ones((n,), bool)
+rad3, hitl, zl = fused_wave_seg(cfg, consts, scene, o3, d3, alive,
+                                jnp.int32(3), bounces=0,
+                                mesh_tables=mxu_tables(scene))
+inv = jnp.asarray(pixel_order_inv(w, h))
+out = I.render_wave(scene, cfg, o, d, order, alive, key, n,
+                    inv_pixel=inv)
+inv_np = np.asarray(inv)
+rad_f = np.stack([np.asarray(rad3[c])[inv_np] for c in range(3)], 1)
+np.testing.assert_allclose(rad_f, np.asarray(out.radiance), atol=5e-4)
+print("DEFER-OK")
+"""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["XLA_FLAGS"] = ("--xla_backend_optimization_level=0"
+                        " --xla_llvm_disable_expensive_passes=true")
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=900)
+    assert proc.returncode == 0 and "DEFER-OK" in proc.stdout, \
+        proc.stdout[-2000:]
