@@ -71,6 +71,17 @@ CASES = {
     # secondary rays), so no terminator-amplified float chaos: the
     # cleanest apples-to-apples SHADING comparison (VERDICT r3 #5).
     "prj3c": ("RayTracingProj3", (), "input2.xml", "proj3", {}, None),
+    # Proj10: soft shadows (size-5 light, adaptive 4->16 shadow rays in
+    # lights.h — NOT overridable, it is outside main.cpp) + glossy
+    # reflections, flat 8 spp.  STOCHASTIC on both sides (rand() in the
+    # disk/glossy sampling), so this is a BIAS check, not a bitwise
+    # one: RMSE is MC-noise-dominated; the meaningful statistic is the
+    # per-channel mean signed error ~ 0 (cf. GOLDENS finalgi method).
+    "prj10c": ("RayTracingProj10",
+               ("MIN_SAMPLE=8", "MAX_SAMPLE=8"),
+               "scene.xml", "proj10",
+               {"min_samples": 8, "max_samples": 8,
+                "split_mode": "rr"}, (200, 150)),
 }
 
 # oracle renders are hours of single-core work; persist them in the
